@@ -1,0 +1,173 @@
+"""Route criteria + driving score as pure per-step reductions.
+
+Parity targets (srunner scenarioatomics/atomic_criteria.py and leaderboard
+utils/statistics_manager.py:21-37,349-416):
+  RouteCompletionTest (waypoint advance, 99%/10 m completion rule),
+  CollisionTest (per-category events with dedup window), OutsideRouteLanesTest
+  (off-lane distance percentage), ActorBlockedTest (<0.1 m/s for 180 s),
+  InRouteTest (30 m corridor), ScenarioTimeoutTest, and the score composition
+  score_composed = max(route_completion% * product(penalties), 0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as C
+from .dynamics import left_normal
+from .state import Criteria, SceneState
+
+ROUTE_WINDOW = 20  # forward search window for ego localization (1 m points)
+
+
+def localize_ego(spec, pos: jnp.ndarray, route_idx: jnp.ndarray):
+    """Monotonic route tracker: nearest point in a forward window.
+
+    Returns (new_idx, lateral_distance). Mirrors RouteCompletionTest's
+    dot-product waypoint advance (atomic_criteria.py:1513) with a bounded
+    window so it stays a static-shape gather under jit/vmap.
+    """
+    start = jnp.clip(route_idx, 0, spec.route_xy.shape[0] - ROUTE_WINDOW)
+    win = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_WINDOW, 2))
+    d = jnp.linalg.norm(win - pos[None, :], axis=1)
+    off = jnp.argmin(d)
+    new_idx = jnp.minimum(start + off, spec.n_route - 1)
+    return new_idx.astype(jnp.int32), d[off]
+
+
+def _obb_overlap(pos_a, yaw_a, ext_a, pos_b, yaw_b, ext_b):
+    """2D OBB overlap via the separating-axis test (4 axes)."""
+    batch = jnp.broadcast_shapes(jnp.shape(yaw_a), jnp.shape(yaw_b))
+    pos_a = jnp.broadcast_to(pos_a, batch + (2,))
+    pos_b = jnp.broadcast_to(pos_b, batch + (2,))
+    ext_a = jnp.broadcast_to(ext_a, batch + (2,))
+    ext_b = jnp.broadcast_to(ext_b, batch + (2,))
+    yaw_a = jnp.broadcast_to(yaw_a, batch)
+    yaw_b = jnp.broadcast_to(yaw_b, batch)
+
+    def axes(yaw):
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        return jnp.stack([jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2)  # [..., 2, 2]
+
+    ax_a, ax_b = axes(yaw_a), axes(yaw_b)
+    allax = jnp.concatenate([ax_a, ax_b], axis=-2)  # [..., 4, 2]
+    delta = pos_b - pos_a  # [..., 2]
+
+    def project(ext, ax_own, axis):
+        # half-projection of an OBB with half-extents ext onto axis
+        return jnp.sum(ext[..., None, :] * jnp.abs(jnp.einsum("...kd,...ad->...ak", ax_own, axis)), -1)
+
+    ra = project(ext_a, ax_a, allax)
+    rb = project(ext_b, ax_b, allax)
+    dist = jnp.abs(jnp.einsum("...d,...ad->...a", delta, allax))
+    return jnp.all(dist <= ra + rb, axis=-1)
+
+
+def criteria_step(spec, state: SceneState, action_brake) -> SceneState:
+    crit = state.criteria
+    ego = state.ego
+    new_idx, lat = localize_ego(spec, ego.pos, ego.route_idx)
+    step_m = ego.speed * C.DT
+    twoways_active = (spec.scenario_type == 2) | (spec.scenario_type == 5) | (spec.scenario_type == 9)
+
+    # --- outside lane: beyond half a lane off the centerline; TwoWays
+    # scenarios legitimately use the opposite lane, so allow one lane left.
+    out_limit = jnp.where(twoways_active, 1.5 * C.LANE_WIDTH, 0.5 * C.LANE_WIDTH + 0.3)
+    outside = lat > out_limit
+    outside_m = crit.outside_lane_m + jnp.where(outside, step_m, 0.0)
+
+    # --- collisions (ego OBB vs pools)
+    ego_ext = jnp.asarray([C.EGO_HALF_LEN, C.EGO_HALF_WID])
+    veh = state.vehicles
+    hit_v = _obb_overlap(
+        ego.pos, ego.yaw, ego_ext, veh.pos, veh.yaw, veh.half_extent
+    ) & veh.alive
+    st = state.statics
+    hit_s = _obb_overlap(ego.pos, ego.yaw, ego_ext, st.pos, st.yaw, st.half_extent) & st.alive
+    wk = state.walkers
+    hit_w = (jnp.linalg.norm(wk.pos - ego.pos[None], axis=1) < (C.EGO_HALF_LEN + 0.4)) & wk.alive
+    # rough front-sector refinement for walkers (circle vs OBB is overkill)
+    cooldown_ok = crit.collision_cooldown <= 0.0
+    any_v = jnp.any(hit_v) & cooldown_ok
+    any_w = jnp.any(hit_w) & cooldown_ok & ~any_v
+    any_s = jnp.any(hit_s) & cooldown_ok & ~any_v & ~any_w
+    new_cool = jnp.where(any_v | any_w | any_s, C.COLLISION_DEDUP_TIME, jnp.maximum(crit.collision_cooldown - C.DT, 0.0))
+
+    # --- blocked
+    blocked_time = jnp.where(ego.speed < C.BLOCKED_SPEED, crit.blocked_time + C.DT, 0.0)
+    blocked = crit.blocked | (blocked_time >= C.BLOCKED_SECONDS)
+
+    # --- route deviation
+    deviated = crit.deviated | (lat > C.IN_ROUTE_RADIUS)
+
+    # --- stop sign (VanillaNonSignalizedTurnEncounterStopsign routes):
+    # require a full stop inside [trigger-2, trigger+5] on the route.
+    has_stop = spec.scen_aux[2] > 0.5
+    s_ego = new_idx.astype(jnp.float32)
+    in_zone = has_stop & (s_ego >= spec.trigger_s - 2.0) & (s_ego <= spec.trigger_s + 5.0)
+    stopped_now = ego.speed < C.BLOCKED_SPEED
+    pending = jnp.where(in_zone & ~stopped_now & ~crit.stop_pending, True, crit.stop_pending)
+    pending = jnp.where(in_zone & stopped_now, False, pending)
+    left_zone = has_stop & (s_ego > spec.trigger_s + 5.0) & crit.stop_pending
+    stop_inf = crit.stop_infraction + jnp.where(left_zone & (crit.stop_infraction == 0), 1, 0)
+    pending = jnp.where(left_zone, False, pending)
+
+    crit = crit.replace(
+        collisions_vehicle=crit.collisions_vehicle + any_v.astype(jnp.int32),
+        collisions_pedestrian=crit.collisions_pedestrian + any_w.astype(jnp.int32),
+        collisions_static=crit.collisions_static + any_s.astype(jnp.int32),
+        collision_cooldown=new_cool,
+        outside_lane_m=outside_m,
+        driven_m=crit.driven_m + step_m,
+        blocked_time=blocked_time,
+        blocked=blocked,
+        deviated=deviated,
+        stop_pending=pending,
+        stop_infraction=stop_inf,
+    )
+    return state.replace(ego=ego.replace(route_idx=new_idx), criteria=crit)
+
+
+def completion_pct(spec, state: SceneState) -> jnp.ndarray:
+    """Route completion % with the 99%/10 m goal rule."""
+    pct = 100.0 * state.ego.route_idx.astype(jnp.float32) / jnp.maximum(spec.route_len, 1.0)
+    goal = spec.route_xy[jnp.maximum(spec.n_route - 1, 0)]
+    near_goal = jnp.linalg.norm(state.ego.pos - goal) <= C.COMPLETION_DIST
+    return jnp.where((pct >= C.COMPLETION_PCT) & near_goal, 100.0, jnp.minimum(pct, 100.0))
+
+
+def compute_score(spec, state: SceneState) -> dict:
+    """score_composed = max(route% * product(penalties), 0)
+    (statistics_manager.py:349-416)."""
+    crit = state.criteria
+    pct = completion_pct(spec, state)
+    pf = jnp.float32
+    penalty = (
+        C.PENALTY_COLLISION_PEDESTRIAN ** pf(crit.collisions_pedestrian)
+        * C.PENALTY_COLLISION_VEHICLE ** pf(crit.collisions_vehicle)
+        * C.PENALTY_COLLISION_STATIC ** pf(crit.collisions_static)
+        * C.PENALTY_RED_LIGHT ** pf(crit.red_light)
+        * C.PENALTY_STOP_SIGN ** pf(crit.stop_infraction)
+        * jnp.where(state.scenario.timed_out, C.PENALTY_SCENARIO_TIMEOUT, 1.0)
+    )
+    # OUTSIDE_ROUTE_LANES: 'increases' with value 0 -> *= (1 - pct_outside/100)
+    pct_outside = 100.0 * crit.outside_lane_m / jnp.maximum(crit.driven_m, 1e-3)
+    penalty = penalty * (1.0 - jnp.clip(pct_outside, 0.0, 100.0) / 100.0)
+    # MIN_SPEED: 'decreases', per-unit 0.7 -> *= 1 - 0.3*(1 - value/100)
+    penalty = penalty * (1.0 - (1.0 - C.PENALTY_MIN_SPEED) * (1.0 - crit.min_speed_pct / 100.0))
+    score = jnp.maximum(pct * penalty, 0.0)
+    return {
+        "score_route": pct,
+        "score_penalty": penalty,
+        "score_composed": score,
+        "collisions_vehicle": crit.collisions_vehicle,
+        "collisions_pedestrian": crit.collisions_pedestrian,
+        "collisions_static": crit.collisions_static,
+        "red_light": crit.red_light,
+        "stop_infraction": crit.stop_infraction,
+        "outside_route_lanes_pct": pct_outside,
+        "scenario_timeout": state.scenario.timed_out,
+        "blocked": crit.blocked,
+        "deviated": crit.deviated,
+    }

@@ -1,0 +1,203 @@
+"""Scenario logic as maskable phase machines (py_trees -> lax, SURVEY §7).
+
+Each Bench2Drive scenario type from the benchmark's 10 tasks becomes a pure
+function advancing a small integer phase machine plus the shared flow-spawner.
+Dispatch is lax.switch on WorldSpec.scenario_type; every branch reads/writes
+the same fixed-shape SceneState, so the whole thing vmaps over mixed batches
+of different scenario types.
+
+Behavioral contracts: srunner/scenarios/parking_cut_in.py:41-44 (cut-in at
+35 m, 13 m/s), blocked_intersection.py:63-67 (blocker 5 m in, trigger at 13 m,
+leaves after a pause), object_crash_vehicle.py:168,265 (walker 2 m/s behind a
+blocker), pedestrian_crossing.py:63-66 (1.3-2 m/s, trigger at 12 m),
+route_obstacles.py / vehicle_opens_door.py (static obstruction + oncoming
+flow), actor_flow.py / cross_bicycle_flow.py (source->sink flows with
+uniform-gap spawning, scenario timeout 240 s).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as C
+from .dynamics import FLOW0_START, FLOW1_START
+from .state import SceneState
+from .world import N_FLOWS
+
+
+def _flow_slots(flow: int):
+    lo = FLOW0_START if flow == 0 else FLOW1_START
+    hi = FLOW1_START if flow == 0 else C.N_VEHICLES
+    return lo, hi
+
+
+def spawn_flows(spec, state: SceneState, key) -> SceneState:
+    """Distance-gap flow spawner (ActorFlow semantics, atomic_behaviors.py:2846).
+
+    Each enabled flow decrements its gap budget by the distance its stream
+    advanced this tick; at zero it claims a dead slot in its block and
+    respawns at the polyline start with a fresh uniform gap.
+    """
+    veh = state.vehicles
+    gaps = state.scenario.next_gap
+    keys = jax.random.split(key, N_FLOWS)
+    for flow in range(N_FLOWS):
+        lo, hi = _flow_slots(flow)
+        block = slice(lo, hi)
+        enabled = spec.flow_enabled[flow]
+        advanced = spec.flow_speed[flow] * C.DT
+        gap = gaps[flow] - jnp.where(enabled, advanced, 0.0)
+        # find a free slot in this flow's block
+        free = ~veh.alive[block]
+        has_free = jnp.any(free)
+        slot = lo + jnp.argmax(free)
+        do_spawn = enabled & (gap <= 0.0) & has_free
+        new_gap = jnp.where(
+            do_spawn,
+            jax.random.uniform(keys[flow], (), minval=spec.flow_gap_lo[flow], maxval=spec.flow_gap_hi[flow]),
+            gap,
+        )
+        start = spec.flow_xy[flow, 0]
+        d0 = spec.flow_dir[flow, 0]
+        kind = spec.flow_kind[flow]
+        extent = jnp.where(kind == 1, jnp.asarray([0.9, 0.4]), jnp.asarray([2.4, 0.95]))
+
+        def set_at(arr, val):
+            return arr.at[slot].set(jnp.where(do_spawn, val, arr[slot]))
+
+        veh = veh.replace(
+            pos=veh.pos.at[slot].set(jnp.where(do_spawn, start, veh.pos[slot])),
+            yaw=set_at(veh.yaw, jnp.arctan2(d0[1], d0[0])),
+            speed=set_at(veh.speed, spec.flow_speed[flow]),
+            target_speed=set_at(veh.target_speed, spec.flow_speed[flow]),
+            alive=set_at(veh.alive, True),
+            mode=set_at(veh.mode, 1),
+            kind=set_at(veh.kind, kind),
+            flow_s=set_at(veh.flow_s, 0.0),
+            direction=set_at(veh.direction, 1.0),
+            half_extent=veh.half_extent.at[slot].set(
+                jnp.where(do_spawn, extent, veh.half_extent[slot])
+            ),
+            lane_offset=set_at(veh.lane_offset, 0.0),
+        )
+        gaps = gaps.at[flow].set(new_gap)
+    return state.replace(vehicles=veh, scenario=state.scenario.replace(next_gap=gaps))
+
+
+def _ego_s(state: SceneState) -> jnp.ndarray:
+    return state.ego.route_idx.astype(jnp.float32)
+
+
+def _activate_walkers(spec, state: SceneState) -> SceneState:
+    w = state.walkers
+    n = w.pos.shape[0]
+    idx = jnp.arange(n)
+    newly = idx < spec.walk_count
+    return state.replace(
+        walkers=w.replace(
+            pos=jnp.where(newly[:, None], spec.walk_pos, w.pos),
+            vel=jnp.where(newly[:, None], spec.walk_vel, w.vel),
+            ttl=jnp.where(newly, spec.walk_ttl, w.ttl),
+            alive=w.alive | newly,
+        )
+    )
+
+
+def _noop(spec, state: SceneState) -> SceneState:
+    return state
+
+
+def _parking_cut_in(spec, state: SceneState) -> SceneState:
+    """Parked car pulls out at 13 m/s when ego closes within 25 m of it."""
+    s_cut = spec.scen_aux[0]
+    veh = state.vehicles
+    trigger = (state.scenario.phase == 0) & (_ego_s(state) >= s_cut - 25.0)
+    phase = jnp.where(trigger, 1, state.scenario.phase)
+    # on trigger: becomes a lane-follower starting at its parked arclength,
+    # offset decays to lane center as it accelerates
+    veh = veh.replace(
+        mode=veh.mode.at[0].set(jnp.where(trigger, 2, veh.mode[0])),
+        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, s_cut, veh.flow_s[0])),
+        lane_offset=veh.lane_offset.at[0].set(
+            jnp.where(
+                state.scenario.phase >= 1,
+                jnp.maximum(veh.lane_offset[0] - 2.0 * C.DT, 0.0),
+                jnp.where(trigger, -C.LANE_WIDTH * 0.8, veh.lane_offset[0]),
+            )
+        ),
+        target_speed=veh.target_speed.at[0].set(jnp.where(phase >= 1, 13.0, 0.0)),
+    )
+    return state.replace(vehicles=veh, scenario=state.scenario.replace(phase=phase))
+
+
+def _walker_crossing(spec, state: SceneState) -> SceneState:
+    """DynamicObjectCrossing / PedestrianCrossing: release walkers when close."""
+    s0 = spec.scen_aux[0]
+    trigger = (state.scenario.phase == 0) & (_ego_s(state) >= s0 - 14.0)
+    state = jax.lax.cond(jnp.any(trigger), lambda s: _activate_walkers(spec, s), lambda s: s, state)
+    phase = jnp.where(trigger, 1, state.scenario.phase)
+    return state.replace(scenario=state.scenario.replace(phase=phase))
+
+
+def _blocked_intersection(spec, state: SceneState) -> SceneState:
+    """Blocker waits; once ego is within 13 m, pauses 4 s then drives off."""
+    sc = state.scenario
+    close = jnp.linalg.norm(state.ego.pos - spec.scen_pos) <= spec.scen_aux[1]
+    phase = jnp.where((sc.phase == 0) & close, 1, sc.phase)
+    go = (phase == 1) & (sc.timer >= 4.0)
+    phase = jnp.where(go, 2, phase)
+    veh = state.vehicles
+    veh = veh.replace(
+        mode=veh.mode.at[0].set(jnp.where(go, 2, veh.mode[0])),
+        flow_s=veh.flow_s.at[0].set(jnp.where(go, spec.scen_aux[0], veh.flow_s[0])),
+        target_speed=veh.target_speed.at[0].set(jnp.where(phase == 2, 8.0, 0.0)),
+    )
+    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase))
+
+
+def _hazard_side_lane(spec, state: SceneState) -> SceneState:
+    """Two bicycles ride at the lane edge from the start; stop after bdist."""
+    sc = state.scenario
+    start = sc.phase == 0
+    veh = state.vehicles
+    s0, bdist = spec.scen_aux[0], spec.scen_aux[1]
+    for k in range(2):
+        ride = start & veh.alive[k]
+        veh = veh.replace(
+            mode=veh.mode.at[k].set(jnp.where(ride, 2, veh.mode[k])),
+            flow_s=veh.flow_s.at[k].set(jnp.where(ride, s0 + 8.0 * k, veh.flow_s[k])),
+            lane_offset=veh.lane_offset.at[k].set(
+                jnp.where(ride, -(0.55 * C.LANE_WIDTH / 2), veh.lane_offset[k])
+            ),
+            target_speed=veh.target_speed.at[k].set(
+                jnp.where(veh.flow_s[k] - s0 > bdist, 0.0, veh.target_speed[k])
+            ),
+        )
+    phase = jnp.where(start, 1, sc.phase)
+    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase))
+
+
+_BRANCHES = [
+    _noop,  # 0 None / Vanilla stop sign (criteria-only)
+    _parking_cut_in,  # 1
+    _noop,  # 2 AccidentTwoWays: statics + oncoming flow, no phases
+    _walker_crossing,  # 3 DynamicObjectCrossing
+    _noop,  # 4 CrossingBicycleFlow: flow-only
+    _noop,  # 5 VehicleOpensDoorTwoWays: statics + oncoming flow
+    _walker_crossing,  # 6 PedestrianCrossing
+    _noop,  # 7 MergerIntoSlowTrafficV2: flow-only
+    _blocked_intersection,  # 8
+    _hazard_side_lane,  # 9
+]
+
+
+def scenario_step(spec, state: SceneState, key) -> SceneState:
+    state = spawn_flows(spec, state, key)
+    state = jax.lax.switch(spec.scenario_type, _BRANCHES, spec, state)
+    sc = state.scenario
+    active = sc.phase >= 1
+    timer = jnp.where(active, sc.timer + C.DT, sc.timer)
+    timeout = jnp.where(active, sc.timeout - C.DT, sc.timeout)
+    timed_out = sc.timed_out | (active & (timeout <= 0.0))
+    return state.replace(scenario=sc.replace(timer=timer, timeout=timeout, timed_out=timed_out))

@@ -1,0 +1,148 @@
+"""Scene state: one structured pytree per world, vmapped over thousands.
+
+Replaces the CARLA server's actor registry + py_trees blackboard with
+fixed-capacity, alive-masked pools (SURVEY.md §7 'variable actor counts').
+All fields are flat arrays with static shapes; scenario control flow is an
+integer phase machine advanced by lax.switch in scenarios.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from . import constants as C
+
+
+@struct.dataclass
+class EgoState:
+    pos: jnp.ndarray  # [2] x, y (CARLA map frame, meters)
+    yaw: jnp.ndarray  # scalar, radians
+    speed: jnp.ndarray  # scalar, m/s (forward)
+    steer: jnp.ndarray  # scalar, last applied steer in [-1, 1]
+    route_idx: jnp.ndarray  # int32, nearest route point (monotonic tracker)
+
+
+@struct.dataclass
+class ActorPool:
+    """NPC vehicles & bicycles. kind: 0=car, 1=bicycle. mode: 0=inactive,
+    1=flow (advance along flow polyline), 2=lane-follow (route + lateral
+    offset, signed direction), 3=scripted (scenario-controlled)."""
+
+    pos: jnp.ndarray  # [N, 2]
+    yaw: jnp.ndarray  # [N]
+    speed: jnp.ndarray  # [N]
+    alive: jnp.ndarray  # [N] bool
+    kind: jnp.ndarray  # [N] int32
+    mode: jnp.ndarray  # [N] int32
+    half_extent: jnp.ndarray  # [N, 2] (half-length, half-width)
+    flow_s: jnp.ndarray  # [N] arclength along its flow polyline / route
+    lane_offset: jnp.ndarray  # [N] signed lateral offset (lane-follow mode)
+    direction: jnp.ndarray  # [N] +1 along route, -1 oncoming
+    target_speed: jnp.ndarray  # [N]
+
+    @staticmethod
+    def empty(n: int = C.N_VEHICLES) -> "ActorPool":
+        z = jnp.zeros
+        return ActorPool(
+            pos=z((n, 2)), yaw=z((n,)), speed=z((n,)),
+            alive=jnp.zeros((n,), bool), kind=z((n,), jnp.int32),
+            mode=z((n,), jnp.int32), half_extent=jnp.full((n, 2), 1.0),
+            flow_s=z((n,)), lane_offset=z((n,)), direction=jnp.ones((n,)),
+            target_speed=z((n,)),
+        )
+
+
+@struct.dataclass
+class WalkerPool:
+    pos: jnp.ndarray  # [W, 2]
+    vel: jnp.ndarray  # [W, 2] walk velocity vector
+    alive: jnp.ndarray  # [W] bool
+    ttl: jnp.ndarray  # [W] seconds until despawn (<=0 keeps walking)
+
+    @staticmethod
+    def empty(n: int = C.N_WALKERS) -> "WalkerPool":
+        return WalkerPool(
+            pos=jnp.zeros((n, 2)), vel=jnp.zeros((n, 2)),
+            alive=jnp.zeros((n,), bool), ttl=jnp.zeros((n,)),
+        )
+
+
+@struct.dataclass
+class StaticPool:
+    """Props: accident vehicles, containers, opened doors, blockers."""
+
+    pos: jnp.ndarray  # [S, 2]
+    yaw: jnp.ndarray  # [S]
+    half_extent: jnp.ndarray  # [S, 2]
+    alive: jnp.ndarray  # [S] bool
+
+    @staticmethod
+    def empty(n: int = C.N_STATICS) -> "StaticPool":
+        return StaticPool(
+            pos=jnp.zeros((n, 2)), yaw=jnp.zeros((n,)),
+            half_extent=jnp.full((n, 2), 0.5), alive=jnp.zeros((n,), bool),
+        )
+
+
+@struct.dataclass
+class ScenarioState:
+    """Generic phase machine shared by all scenario types."""
+
+    phase: jnp.ndarray  # int32: 0=waiting for trigger, 1+ type-specific
+    timer: jnp.ndarray  # f32 seconds in current phase
+    next_gap: jnp.ndarray  # [N_FLOWS] f32 meters until next flow spawn
+    timeout: jnp.ndarray  # f32 remaining scenario timeout (counts once active)
+    timed_out: jnp.ndarray  # bool, ScenarioTimeoutTest fired
+
+    @staticmethod
+    def init(n_flows: int = 2) -> "ScenarioState":
+        return ScenarioState(
+            phase=jnp.asarray(0, jnp.int32), timer=jnp.asarray(0.0),
+            next_gap=jnp.zeros((n_flows,)), timeout=jnp.asarray(240.0),
+            timed_out=jnp.asarray(False),
+        )
+
+
+@struct.dataclass
+class Criteria:
+    """Per-route infraction accumulators (srunner atomic_criteria parity)."""
+
+    collisions_vehicle: jnp.ndarray  # int32 event counts
+    collisions_pedestrian: jnp.ndarray
+    collisions_static: jnp.ndarray
+    collision_cooldown: jnp.ndarray  # f32 seconds left in dedup window
+    red_light: jnp.ndarray  # int32
+    stop_infraction: jnp.ndarray  # int32
+    stop_pending: jnp.ndarray  # bool: inside a stop zone, not yet stopped
+    outside_lane_m: jnp.ndarray  # f32 meters driven outside lanes
+    driven_m: jnp.ndarray  # f32 total meters driven
+    blocked_time: jnp.ndarray  # f32 consecutive seconds below BLOCKED_SPEED
+    blocked: jnp.ndarray  # bool VEHICLE_BLOCKED fired
+    deviated: jnp.ndarray  # bool ROUTE_DEVIATION fired
+    min_speed_pct: jnp.ndarray  # f32 MinimumSpeedRouteTest percentage (100 = ok)
+
+    @staticmethod
+    def init() -> "Criteria":
+        i0 = jnp.asarray(0, jnp.int32)
+        f0 = jnp.asarray(0.0)
+        return Criteria(
+            collisions_vehicle=i0, collisions_pedestrian=i0, collisions_static=i0,
+            collision_cooldown=f0, red_light=i0, stop_infraction=i0,
+            stop_pending=jnp.asarray(False), outside_lane_m=f0, driven_m=f0,
+            blocked_time=f0, blocked=jnp.asarray(False), deviated=jnp.asarray(False),
+            min_speed_pct=jnp.asarray(100.0),
+        )
+
+
+@struct.dataclass
+class SceneState:
+    ego: EgoState
+    vehicles: ActorPool
+    walkers: WalkerPool
+    statics: StaticPool
+    scenario: ScenarioState
+    criteria: Criteria
+    t: jnp.ndarray  # int32 tick counter
+    done: jnp.ndarray  # bool
+    rng: jnp.ndarray  # PRNG key

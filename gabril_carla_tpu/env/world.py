@@ -1,0 +1,393 @@
+"""WorldSpec: static per-route data compiled from the Bench2Drive route XML.
+
+Replaces RouteScenario's on-line construction (leaderboard
+scenarios/route_scenario.py:63-107: GlobalRoutePlanner interpolation, scenario
+instantiation, parked-prop spawning) with an offline numpy compile producing
+fixed-shape arrays a vmapped step function can consume. One WorldSpec per
+(route); batches of specs are stacked leaf-wise and vmapped.
+
+Route interpolation: the reference densifies keypoints at 1 m along OpenDRIVE
+roads (leaderboard utils/route_manipulation.py:136-161). The XML keypoints are
+already ~2 m apart, so arc-length linear resampling at 1 m is a faithful
+approximation without the (external) map files.
+
+Scenario layouts use the behavioral constants of the srunner classes, e.g.
+parking_cut_in.py:41-44 (cut-in at 35 m, 13 m/s), route_obstacles.py:69-85
+(accident prop train 10+6 m, lane offset 0.6*lw/2, scenario timeout 240 s),
+object_crash_vehicle.py:168 (walker at 2 m/s), pedestrian_crossing.py:63-66,
+blocked_intersection.py:63-67, cross_bicycle_flow.py:83-85.
+"""
+
+from __future__ import annotations
+
+import math
+import xml.etree.ElementTree as ET
+from dataclasses import field
+
+import numpy as np
+from flax import struct
+
+from . import constants as C
+
+# Scenario type enum (lax.switch dispatch index)
+SCENARIO_TYPES = {
+    "None": 0,
+    "VanillaNonSignalizedTurnEncounterStopsign": 0,  # no scenario class in the
+    # reference either: build_scenarios skips it (route_scenario.py:341-347)
+    "ParkingCutIn": 1,
+    "AccidentTwoWays": 2,
+    "DynamicObjectCrossing": 3,
+    "CrossingBicycleFlow": 4,
+    "VehicleOpensDoorTwoWays": 5,
+    "PedestrianCrossing": 6,
+    "MergerIntoSlowTrafficV2": 7,
+    "BlockedIntersection": 8,
+    "HazardAtSideLaneTwoWays": 9,
+}
+
+N_FLOWS = 2  # slot 0: explicit/source flow; slot 1: oncoming ("TwoWays") flow
+
+CAR_EXTENT = (2.4, 0.95)
+BIKE_EXTENT = (0.9, 0.4)
+
+
+@struct.dataclass
+class WorldSpec:
+    """Static world description; all arrays fixed-shape, stackable, vmappable.
+
+    Registered as a pytree so batched specs flow through jit/vmap directly.
+    """
+
+    route_xy: np.ndarray  # [M, 2]
+    route_dir: np.ndarray  # [M, 2] unit tangents
+    n_route: np.ndarray  # () int32 valid points
+    route_len: np.ndarray  # () f32 meters
+    spawn_pos: np.ndarray  # [2]
+    spawn_yaw: np.ndarray  # ()
+    scenario_type: np.ndarray  # () int32
+    trigger_s: np.ndarray  # () f32 arclength of scenario trigger
+    # flow slots
+    flow_xy: np.ndarray  # [N_FLOWS, F, 2]
+    flow_dir: np.ndarray  # [N_FLOWS, F, 2]
+    flow_len: np.ndarray  # [N_FLOWS] f32
+    flow_speed: np.ndarray  # [N_FLOWS]
+    flow_gap_lo: np.ndarray  # [N_FLOWS] meters
+    flow_gap_hi: np.ndarray  # [N_FLOWS]
+    flow_enabled: np.ndarray  # [N_FLOWS] bool
+    flow_kind: np.ndarray  # [N_FLOWS] int32 0=car 1=bike
+    # pre-placed pools (copied into SceneState at reset)
+    statics_pos: np.ndarray  # [S, 2]
+    statics_yaw: np.ndarray  # [S]
+    statics_extent: np.ndarray  # [S, 2]
+    statics_alive: np.ndarray  # [S] bool
+    veh_pos: np.ndarray  # [V, 2] scripted vehicles (cut-in, blockers, hazards)
+    veh_yaw: np.ndarray  # [V]
+    veh_kind: np.ndarray  # [V] int32
+    veh_extent: np.ndarray  # [V, 2]
+    veh_alive: np.ndarray  # [V] bool
+    veh_target_speed: np.ndarray  # [V]
+    # walker spawn specs (activated at trigger)
+    walk_pos: np.ndarray  # [W, 2]
+    walk_vel: np.ndarray  # [W, 2]
+    walk_ttl: np.ndarray  # [W]
+    walk_count: np.ndarray  # () int32
+    # misc scalars
+    scen_pos: np.ndarray  # [2] scenario anchor (blocker/adversary position)
+    scen_aux: np.ndarray  # [4] type-specific floats
+    route_id: np.ndarray = field(default_factory=lambda: np.int32(0))
+    weather: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
+
+
+def _left(d: np.ndarray) -> np.ndarray:
+    """Unit normal pointing to the driver's left in CARLA's y-south frame."""
+    return np.stack([d[..., 1], -d[..., 0]], axis=-1)
+
+
+def resample_polyline(pts: np.ndarray, spacing: float = 1.0) -> np.ndarray:
+    """Arc-length resample at fixed spacing (route_manipulation 1 m hop)."""
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = s[-1]
+    si = np.arange(0.0, total + 1e-6, spacing)
+    x = np.interp(si, s, pts[:, 0])
+    y = np.interp(si, s, pts[:, 1])
+    return np.stack([x, y], axis=1).astype(np.float32)
+
+
+def _tangents(xy: np.ndarray) -> np.ndarray:
+    d = np.gradient(xy, axis=0)
+    n = np.linalg.norm(d, axis=1, keepdims=True)
+    return (d / np.maximum(n, 1e-6)).astype(np.float32)
+
+
+def _pad(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad along axis 0 by repeating the last row (keeps geometry sane)."""
+    if len(a) >= n:
+        return a[:n]
+    reps = np.repeat(a[-1:], n - len(a), axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def parse_routes_xml(path: str, route_ids: list[int] | None = None) -> dict[int, dict]:
+    """Parse bench2drive220.xml -> {route_id: raw dict}."""
+    root = ET.parse(path).getroot()
+    out = {}
+    for r in root.iter("route"):
+        rid = int(r.get("id"))
+        if route_ids is not None and rid not in route_ids:
+            continue
+        wps = np.array(
+            [[float(p.get("x")), float(p.get("y"))] for p in r.find("waypoints").findall("position")],
+            dtype=np.float32,
+        )
+        scenarios = []
+        for s in r.find("scenarios").findall("scenario"):
+            rec = {"type": s.get("type")}
+            for child in s:
+                if child.tag == "trigger_point":
+                    rec["trigger"] = (float(child.get("x")), float(child.get("y")), float(child.get("yaw")))
+                elif "value" in child.attrib:
+                    rec[child.tag] = _maybe_float(child.get("value"))
+                elif "from" in child.attrib:
+                    rec[child.tag] = (float(child.get("from")), float(child.get("to")))
+                elif "x" in child.attrib:
+                    rec[child.tag] = (float(child.get("x")), float(child.get("y")))
+            scenarios.append(rec)
+        weather = [0.0, 0.0, 0.0, 90.0]
+        wnode = r.find("weathers")
+        if wnode is not None and len(wnode):
+            w0 = wnode[0]
+            weather = [float(w0.get("cloudiness", 0)), float(w0.get("precipitation", 0)),
+                       float(w0.get("fog_density", 0)), float(w0.get("sun_altitude_angle", 90))]
+        out[rid] = {"id": rid, "town": r.get("town"), "waypoints": wps,
+                    "scenarios": scenarios, "weather": weather}
+    return out
+
+
+def _maybe_float(v: str):
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def _project_s(route_xy: np.ndarray, p: np.ndarray) -> float:
+    """Arclength of the nearest route point (1 m spacing -> index = s)."""
+    i = int(np.argmin(np.linalg.norm(route_xy - p[None], axis=1)))
+    return float(i)
+
+
+def _point_at(route_xy, route_dir, s: float):
+    i = int(np.clip(round(s), 0, len(route_xy) - 1))
+    return route_xy[i], route_dir[i]
+
+
+def build_world_spec(route: dict) -> WorldSpec:
+    """Compile one parsed route into a WorldSpec."""
+    xy = resample_polyline(route["waypoints"], 1.0)
+    dirs = _tangents(xy)
+    n = len(xy)
+    m = C.MAX_ROUTE_POINTS
+
+    statics_pos = np.zeros((C.N_STATICS, 2), np.float32)
+    statics_yaw = np.zeros(C.N_STATICS, np.float32)
+    statics_extent = np.full((C.N_STATICS, 2), 0.5, np.float32)
+    statics_alive = np.zeros(C.N_STATICS, bool)
+    veh_pos = np.zeros((C.N_VEHICLES, 2), np.float32)
+    veh_yaw = np.zeros(C.N_VEHICLES, np.float32)
+    veh_kind = np.zeros(C.N_VEHICLES, np.int32)
+    veh_extent = np.full((C.N_VEHICLES, 2), 1.0, np.float32)
+    veh_alive = np.zeros(C.N_VEHICLES, bool)
+    veh_tspeed = np.zeros(C.N_VEHICLES, np.float32)
+    walk_pos = np.zeros((C.N_WALKERS, 2), np.float32)
+    walk_vel = np.zeros((C.N_WALKERS, 2), np.float32)
+    walk_ttl = np.zeros(C.N_WALKERS, np.float32)
+    walk_count = 0
+    flow_xy = np.zeros((N_FLOWS, C.MAX_FLOW_POINTS, 2), np.float32)
+    flow_dir = np.zeros((N_FLOWS, C.MAX_FLOW_POINTS, 2), np.float32)
+    flow_dir[..., 0] = 1.0
+    flow_len = np.zeros(N_FLOWS, np.float32)
+    flow_speed = np.zeros(N_FLOWS, np.float32)
+    flow_gap = np.zeros((N_FLOWS, 2), np.float32)
+    flow_enabled = np.zeros(N_FLOWS, bool)
+    flow_kind = np.zeros(N_FLOWS, np.int32)
+    scen_pos = np.zeros(2, np.float32)
+    scen_aux = np.zeros(4, np.float32)
+
+    scen = route["scenarios"][0] if route["scenarios"] else {"type": "None"}
+    stype = SCENARIO_TYPES.get(scen["type"], 0)
+    trig_s = _project_s(xy, np.array(scen["trigger"][:2], np.float32)) if "trigger" in scen else 0.0
+    if str(scen["type"]).startswith("VanillaNonSignalizedTurnEncounterStopsign"):
+        scen_aux[2] = 1.0  # stop-sign criterion active (criteria.py)
+
+    def set_flow(slot, pts, speed, gap, kind=0):
+        f = resample_polyline(np.asarray(pts, np.float32), 1.0)
+        fl = min(len(f), C.MAX_FLOW_POINTS)
+        flow_xy[slot] = _pad(f, C.MAX_FLOW_POINTS)
+        flow_dir[slot] = _pad(_tangents(f), C.MAX_FLOW_POINTS)
+        flow_len[slot] = float(fl - 1)
+        flow_speed[slot] = speed
+        flow_gap[slot] = gap
+        flow_enabled[slot] = True
+        flow_kind[slot] = kind
+
+    def oncoming_flow(s_from: float, s_to: float, speed=8.0, gap=(25.0, 50.0)):
+        """Slot-1 flow on the opposite lane, running from s_to down to s_from."""
+        i0, i1 = int(max(0, s_from)), int(min(n - 1, s_to))
+        seg = xy[i0 : i1 + 1] + C.LANE_WIDTH * _left(dirs[i0 : i1 + 1])
+        set_flow(1, seg[::-1], speed, gap)
+
+    def add_static(i, pos, yaw, extent):
+        statics_pos[i], statics_yaw[i], statics_extent[i], statics_alive[i] = pos, yaw, extent, True
+
+    def add_vehicle(i, pos, yaw, kind, extent, tspeed=0.0):
+        veh_pos[i], veh_yaw[i], veh_kind[i] = pos, yaw, kind
+        veh_extent[i], veh_alive[i], veh_tspeed[i] = extent, True, tspeed
+
+    lw = C.LANE_WIDTH
+
+    if stype == 1:  # ParkingCutIn: parked car 35 m past trigger, right side
+        s_cut = trig_s + 35.0
+        p, d = _point_at(xy, dirs, s_cut)
+        right = -_left(d)
+        add_vehicle(0, p + right * (lw * 0.8), math.atan2(d[1], d[0]), 0, CAR_EXTENT, 13.0)
+        scen_pos = (p + right * (lw * 0.8)).astype(np.float32)
+        scen_aux[0] = s_cut
+
+    elif stype == 2:  # AccidentTwoWays: prop train at distance, oncoming flow
+        dist = float(scen.get("distance", 120.0))
+        s0 = trig_s + dist
+        for k, ds in enumerate((0.0, 10.0, 16.0)):  # accident wp, +10, +6
+            p, d = _point_at(xy, dirs, s0 + ds)
+            off = -_left(d) * (0.6 * lw / 2)
+            add_static(k, p + off, math.atan2(d[1], d[0]), CAR_EXTENT)
+        freq = scen.get("frequency", (32.0, 110.0))
+        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0,
+                      gap=(freq[0] / 2, freq[1] / 2))
+        scen_aux[0] = s0
+
+    elif stype == 3:  # DynamicObjectCrossing: blocker prop + crossing walker
+        dist = float(scen.get("distance", 12.0))
+        s0 = trig_s + dist
+        p, d = _point_at(xy, dirs, s0)
+        right = -_left(d)
+        blocker = p + right * (lw * 0.9)
+        add_static(0, blocker, math.atan2(d[1], d[0]), (1.2, 1.2))
+        ang = math.radians(float(scen.get("crossing_angle", 0.0)))
+        cross_dir = _left(d)  # walks right -> left across the lane
+        ca, sa = math.cos(ang), math.sin(ang)
+        rot = np.array([[ca, -sa], [sa, ca]], np.float32)
+        v = rot @ cross_dir * 2.0  # 2 m/s (object_crash_vehicle.py:168)
+        walk_pos[0] = blocker + right * 1.0
+        walk_vel[0] = v
+        walk_ttl[0] = (2.5 * lw) / 2.0
+        walk_count = 1
+        scen_pos = blocker
+        scen_aux[0] = s0
+
+    elif stype == 4:  # CrossingBicycleFlow
+        pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
+        gap = scen.get("source_dist_interval", (20.0, 50.0))
+        set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=1)
+
+    elif stype == 5:  # VehicleOpensDoorTwoWays
+        dist = float(scen.get("distance", 50.0))
+        s0 = trig_s + dist
+        p, d = _point_at(xy, dirs, s0)
+        right = -_left(d)
+        car = p + right * (lw * 0.55)
+        add_static(0, car, math.atan2(d[1], d[0]), CAR_EXTENT)
+        # opened door pokes into the ego lane
+        add_static(1, car + _left(d) * 1.4 + d * 1.0, math.atan2(d[1], d[0]), (0.7, 0.25))
+        freq = scen.get("frequency", (36.0, 90.0))
+        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=(freq[0] / 2, freq[1] / 2))
+        scen_aux[0] = s0
+
+    elif stype == 6:  # PedestrianCrossing: 3 walkers over a crosswalk ahead
+        s0 = trig_s + 12.0
+        p, d = _point_at(xy, dirs, s0)
+        right = -_left(d)
+        for k in range(3):
+            start = p + right * (lw * 0.9) + d * (1.0 * k)
+            walk_pos[k] = start
+            walk_vel[k] = _left(d) * (1.3 + 0.35 * k)  # 1.3-2.0 m/s spread
+            walk_ttl[k] = (2.3 * lw) / float(1.3 + 0.35 * k)
+        walk_count = 3
+        scen_pos = p
+        scen_aux[0] = s0
+
+    elif stype == 7:  # MergerIntoSlowTrafficV2
+        pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
+        gap = scen.get("source_dist_interval", (20.0, 50.0))
+        set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=0)
+
+    elif stype == 8:  # BlockedIntersection: blocker 5 m past trigger
+        s0 = trig_s + 5.0
+        p, d = _point_at(xy, dirs, s0)
+        add_vehicle(0, p, math.atan2(d[1], d[0]), 0, CAR_EXTENT, 8.0)
+        scen_pos = p.astype(np.float32)
+        scen_aux[0] = s0
+        scen_aux[1] = 13.0  # trigger distance (blocked_intersection.py:64)
+
+    elif stype == 9:  # HazardAtSideLaneTwoWays: two bicycles at lane edge
+        dist = float(scen.get("distance", 100.0))
+        bspeed = float(scen.get("bicycle_speed", 8.0))
+        bdist = float(scen.get("bicycle_drive_distance", 100.0))
+        freq = float(scen.get("frequency", 75.0)) if not isinstance(scen.get("frequency"), tuple) else 75.0
+        s0 = trig_s + dist
+        for k in range(2):
+            p, d = _point_at(xy, dirs, s0 + 8.0 * k)
+            off = -_left(d) * (0.55 * lw / 2)
+            add_vehicle(k, p + off, math.atan2(d[1], d[0]), 1, BIKE_EXTENT, bspeed)
+        oncoming_flow(trig_s - 10, min(n - 2, s0 + bdist + 30), speed=7.0, gap=(freq / 2, freq))
+        scen_aux[0] = s0
+        scen_aux[1] = bdist
+
+    return WorldSpec(
+        route_xy=_pad(xy, m),
+        route_dir=_pad(dirs, m),
+        n_route=np.int32(n),
+        route_len=np.float32(n - 1),
+        spawn_pos=xy[0],
+        spawn_yaw=np.float32(math.atan2(dirs[0][1], dirs[0][0])),
+        scenario_type=np.int32(stype),
+        trigger_s=np.float32(trig_s),
+        flow_xy=flow_xy,
+        flow_dir=flow_dir,
+        flow_len=flow_len,
+        flow_speed=flow_speed,
+        flow_gap_lo=flow_gap[:, 0],
+        flow_gap_hi=flow_gap[:, 1],
+        flow_enabled=flow_enabled,
+        flow_kind=flow_kind,
+        statics_pos=statics_pos,
+        statics_yaw=statics_yaw,
+        statics_extent=statics_extent,
+        statics_alive=statics_alive,
+        veh_pos=veh_pos,
+        veh_yaw=veh_yaw,
+        veh_kind=veh_kind,
+        veh_extent=veh_extent,
+        veh_alive=veh_alive,
+        veh_target_speed=veh_tspeed,
+        walk_pos=walk_pos,
+        walk_vel=walk_vel,
+        walk_ttl=walk_ttl,
+        walk_count=np.int32(walk_count),
+        scen_pos=np.asarray(scen_pos, np.float32),
+        scen_aux=scen_aux,
+        route_id=np.int32(route["id"]),
+        weather=np.asarray(route["weather"], np.float32),
+    )
+
+
+def stack_specs(specs: list[WorldSpec]) -> WorldSpec:
+    """Leaf-wise stack into a batched WorldSpec for vmap."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *specs)
+
+
+def load_benchmark_specs(xml_path: str, route_ids: list[int]) -> WorldSpec:
+    routes = parse_routes_xml(xml_path, route_ids)
+    return stack_specs([build_world_spec(routes[r]) for r in route_ids])

@@ -1,0 +1,83 @@
+"""Trainer: sharded epoch loop shared by BC and gaze-predictor training.
+
+The reference's BaseTrainer epoch loop (train/common/base_trainer.py:116-192)
+maps here to: host-side shuffled batch iterator -> device_put with 'data'
+sharding -> one jitted train step (grad accumulation handled by
+optax.MultiSteps, DDP allreduce by XLA's implicit psum over the mesh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..data.dataset import BCDataset
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.logging import ExperimentLogger
+from .bc import init_bc_state, make_bc_train_step
+from .checkpoint import save_manifest, save_params
+from .gaze_predictor import init_gaze_state, make_gaze_train_step
+from .optim import build_optimizer
+
+
+class Trainer:
+    """mode: 'bc' (BCTrainer parity) or 'gaze' (GazePredictorTrainer parity)."""
+
+    def __init__(self, cfg, dataset: BCDataset, mode: str = "bc", mesh=None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.mode = mode
+        self.mesh = mesh if mesh is not None else make_mesh()
+        bs = cfg.data["batch_size"]
+        spe = dataset.steps_per_epoch(bs)
+        if spe == 0:
+            raise ValueError(f"batch_size {bs} exceeds dataset size {len(dataset)}")
+        self.steps_per_epoch = spe
+        tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, spe)
+        rng = jax.random.PRNGKey(cfg.get_path("training.seed", 0))
+        donate = bool(cfg.get_path("training.donate", True))
+        if mode == "bc":
+            self.models, self.state = init_bc_state(cfg, rng, tx)
+            self.step_fn = make_bc_train_step(self.models, cfg, donate=donate)
+        elif mode == "gaze":
+            (self.model, self.heatmapper), self.state = init_gaze_state(cfg, rng, tx)
+            self.step_fn = make_gaze_train_step(self.model, self.heatmapper, cfg, donate=donate)
+        else:
+            raise ValueError(f"unknown mode {mode}")
+        self.logger = ExperimentLogger(cfg)
+        self._rng = np.random.default_rng(cfg.get_path("training.seed", 0))
+        self._step_key = jax.random.PRNGKey(cfg.get_path("training.seed", 0) + 1)
+        self._global_step = 0
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        epochs = cfg.get_path("training.epochs", 1)
+        save_interval = cfg.get_path("training.save_interval", 50)
+        bs = cfg.data["batch_size"]
+        last = {}
+        for epoch in range(epochs):
+            totals, count = {}, 0
+            for batch in self.dataset.iter_batches(bs, self._rng):
+                batch = shard_batch(batch, self.mesh)
+                self._step_key, sub = jax.random.split(self._step_key)
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+                count += 1
+                for k, v in metrics.items():
+                    totals[k] = totals.get(k, 0.0) + v
+                self._global_step += 1
+            # one host sync per epoch
+            avg = {k: float(jax.device_get(v)) / count for k, v in totals.items()}
+            self.logger.log_scalars(self._global_step, {"epoch": epoch + 1, **avg})
+            self.logger.print(
+                f"epoch {epoch + 1}/{epochs}: " + ", ".join(f"{k}={v:.5f}" for k, v in avg.items())
+            )
+            last = avg
+            if (epoch + 1) % save_interval == 0 or (epoch + 1) == epochs:
+                self.save(epoch + 1)
+        return last
+
+    def save(self, epoch: int):
+        save_params(self.logger.ckpt_dir, epoch, self.state.params)
+        if self.cfg.get_path("logging.save_params", True):
+            extra = {"model_type": "gaze_predictor"} if self.mode == "gaze" else None
+            save_manifest(self.logger.ckpt_dir, self.cfg, epoch, extra=extra)

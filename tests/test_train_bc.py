@@ -1,0 +1,95 @@
+"""One jitted train step per gaze/dropout method: runs, finite, updates params.
+
+Small spatial dims keep CPU compiles fast; the encoder tower is geometry-
+agnostic (the 180x320->20x38 contract is covered in test_models.py).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gabril_carla_tpu.data import BCDataset, synthetic_episodes
+from gabril_carla_tpu.train import init_bc_state, make_bc_train_step
+from gabril_carla_tpu.train.bc import bc_loss_fn
+from gabril_carla_tpu.train.optim import build_optimizer
+from gabril_carla_tpu.utils import default_bc_config
+
+H, W, P, A, S = 24, 48, 3, 7, 2
+
+
+def small_cfg(gaze_method="None", dp_method="None", **over):
+    cfg = default_bc_config()
+    cfg["data"].update(img_height=H, img_width=W, frame_stack=S, action_dim=A, batch_size=4)
+    cfg["model"].update(embedding_dim=8, num_hiddens=16, num_residual_layers=1,
+                        num_residual_hiddens=8, z_dim=16)
+    cfg["gaze"].update(method=gaze_method, max_points=P, mask_sigma=4.0)
+    cfg["dropout"].update(method=dp_method, num_embeddings=16, oreo_num_mask=2)
+    cfg["training"].update(compute_dtype="float32", epochs=1)
+    cfg["scheduler"]["type"] = "none"  # cosine_warmup has lr=0 at step 0
+    for k, v in over.items():
+        cfg.set_path(k, v)
+    return cfg
+
+
+def one_batch(cfg):
+    store = synthetic_episodes(n_demos=1, steps=8, img_hw=(H, W), max_points=P, action_dim=A)
+    ds = BCDataset(store, frame_stack=cfg.data["frame_stack"])
+    return next(ds.iter_batches(4, np.random.default_rng(0)))
+
+
+def run_one_step(cfg):
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, steps_per_epoch=2)
+    models, state = init_bc_state(cfg, jax.random.PRNGKey(0), tx)
+    step = make_bc_train_step(models, cfg, donate=False)
+    batch = jax.tree.map(jnp.asarray, one_batch(cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss for {cfg.gaze['method']}/{cfg.dropout['method']}"
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params["encoder"],
+                        new_state.params["encoder"])
+    assert max(jax.tree.leaves(diff)) > 0, "encoder params did not update"
+    return metrics
+
+
+@pytest.mark.parametrize("method", ["None", "Reg", "Teacher", "Mask", "ViSaRL", "AGIL", "GRIL", "Contrastive"])
+def test_gaze_methods_train(method):
+    run_one_step(small_cfg(gaze_method=method))
+
+
+@pytest.mark.parametrize("dp", ["GMD", "IGMD", "Oreo"])
+def test_dropout_methods_train(dp):
+    run_one_step(small_cfg(dp_method=dp))
+
+
+@pytest.mark.parametrize("dist", ["TV", "KL", "JS"])
+def test_gabril_prob_dist_types(dist):
+    run_one_step(small_cfg(gaze_method="Reg", **{"gaze.prob_dist_type": dist}))
+
+
+def test_zero_gaze_ratio_disables_reg():
+    cfg = small_cfg(gaze_method="Reg", **{"gaze.ratio": 0.0})
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, steps_per_epoch=2)
+    models, state = init_bc_state(cfg, jax.random.PRNGKey(0), tx)
+    batch = jax.tree.map(jnp.asarray, one_batch(cfg))
+    _, metrics = bc_loss_fn(state.params, models, cfg, batch, jax.random.PRNGKey(1))
+    assert float(metrics["loss_reg"]) == 0.0
+
+
+def test_partial_gaze_ratio_is_content_hash():
+    cfg = small_cfg(gaze_method="Reg", **{"gaze.ratio": 0.5})
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, steps_per_epoch=2)
+    models, state = init_bc_state(cfg, jax.random.PRNGKey(0), tx)
+    batch = jax.tree.map(jnp.asarray, one_batch(cfg))
+    _, m1 = bc_loss_fn(state.params, models, cfg, batch, jax.random.PRNGKey(1))
+    # permuting the batch must not change which samples use gaze
+    perm = [2, 0, 3, 1]
+    batch2 = jax.tree.map(lambda x: x[jnp.asarray(perm)], batch)
+    _, m2 = bc_loss_fn(state.params, models, cfg, batch2, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss_reg"]), float(m2["loss_reg"]), rtol=1e-5)
+
+
+def test_oreo_replicates_batch():
+    cfg = small_cfg(dp_method="Oreo")
+    metrics = run_one_step(cfg)
+    assert np.isfinite(float(metrics["loss_actor"]))
