@@ -1,0 +1,101 @@
+"""Headline benchmark: rendered closed-loop env steps/sec on one chip.
+
+Measures the full pipeline the reference runs at 20 steps/sec/server
+(CARLA sync mode, vlm_gaze/eval/env_manager.py:91,430): rasterized 320x180
+observation -> BC policy forward -> env step (dynamics + scenarios +
+criteria), vmapped over worlds. Baseline = 20 (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from gabril_carla_tpu.env import DrivingEnv
+    from gabril_carla_tpu.env.world import build_world_spec, stack_specs
+    from gabril_carla_tpu.ops.raster import render_frame
+    from gabril_carla_tpu.train.bc import build_bc_models, init_bc_params, make_bc_policy_fn
+    from gabril_carla_tpu.utils import default_bc_config
+
+    n_worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    cfg = default_bc_config()
+    cfg["gaze"]["method"] = "None"
+    cfg["training"]["compute_dtype"] = "bfloat16"
+    models = build_bc_models(cfg)
+    params = init_bc_params(models, cfg, jax.random.PRNGKey(0))
+    policy = make_bc_policy_fn(models, cfg)
+    s = cfg.data["frame_stack"]
+
+    # synthetic route batch (no external files needed)
+    rng = np.random.default_rng(0)
+    specs = []
+    for i in range(n_worlds):
+        t = np.linspace(0, 2 * np.pi, 150)
+        curve = 30.0 * rng.standard_normal()
+        wps = np.stack([300.0 * t / (2 * np.pi), curve * np.sin(t)], 1).astype(np.float32)
+        specs.append(
+            build_world_spec(
+                {"id": i, "town": "T", "waypoints": wps,
+                 "scenarios": [{"type": "PedestrianCrossing", "trigger": (float(wps[20, 0]), float(wps[20, 1]), 0.0)}],
+                 "weather": [0, 0, 0, 90]}
+            )
+        )
+    specs = jax.tree.map(jnp.asarray, stack_specs(specs))
+
+    env = DrivingEnv()
+
+    def one_world_step(spec, state, frames, params):
+        frame = render_frame(spec, state)
+        frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
+        action = policy(params, frames[None])[0]
+        state = env.step(spec, state, action)
+        return state, frames
+
+    def run(specs, params, keys):
+        states = jax.vmap(env.reset)(specs, keys)
+        frames0 = jnp.zeros((n_worlds, 180, 320, s))
+
+        def body(carry, _):
+            st, fr = carry
+            st, fr = jax.vmap(one_world_step, in_axes=(0, 0, 0, None))(specs, st, fr, params)
+            return (st, fr), None
+
+        (states, _), _ = jax.lax.scan(body, (states, frames0), None, length=n_steps)
+        return states.ego.pos
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_worlds)
+    run_j = jax.jit(run)
+    np.asarray(run_j(specs, params, keys))  # compile + warm (forced D2H:
+    # block_until_ready can return early through the axon tunnel)
+    t0 = time.perf_counter()
+    np.asarray(run_j(specs, params, keys))
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_worlds * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rendered_env_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / 20.0, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Closed-loop evaluation: lax.scan(policy ∘ render ∘ step), vmapped.
+
+Subsumes the reference's per-route tick loop (leaderboard
+scenarios/scenario_manager.py:161-226) and its agent plumbing
+(eval/my_agents/bc_agent.py:307-413): one compiled graph runs policy
+inference, rasterization, dynamics, scenario logic, and criteria per tick —
+then vmap turns it into thousands of simultaneous routes per chip.
+
+Parity details kept: 10 warm-up no-op ticks (bc_agent.py:404), hard stop at
+fps*100 = 2000 ticks (bc_agent.py:407-411), frame ring buffer fed to the
+policy exactly like training's frame stack, brake binarization in the codec.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..env.env import DrivingEnv
+from ..ops.raster import analytic_gaze, confounded_overlay, render_frame
+
+WARMUP_STEPS = 10
+HARD_STOP = 2000  # = fps * 100
+
+
+def make_rollout_fn(
+    policy_fn,
+    cfg,
+    steps: int = HARD_STOP,
+    use_analytic_gaze: bool = False,
+    gaze_predictor_apply=None,
+    confounded: bool = False,
+    return_frames: bool = False,
+):
+    """Build rollout(spec, params, key) -> (final_state, aux).
+
+    policy_fn(params, obs [1,H,W,S], heat [1,H,W,S]|None) -> [1, 7] action.
+    gaze_predictor_apply(params['gaze_predictor'], obs) -> [1,H,W,1] heat
+    (frozen predictor, train_gaze_predictor parity) when the method needs one.
+    """
+    s = cfg.data["frame_stack"]
+    env = DrivingEnv()
+    needs_heat = cfg.gaze["method"] in ("Mask", "ViSaRL", "AGIL") or cfg.dropout["method"] in (
+        "GMD",
+        "IGMD",
+    )
+
+    def init_carry(spec, key):
+        state = env.reset(spec, key)
+        frame = render_frame(spec, state)
+        frames = jnp.repeat(frame[..., None], s, axis=-1)  # [H, W, S]
+        return state, frames
+
+    def tick(carry, _, spec, params):
+        state, frames = carry
+        frame = render_frame(spec, state)
+        frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
+        obs = frames[None]  # [1, H, W, S]
+
+        heat = None
+        if needs_heat:
+            if use_analytic_gaze:
+                # Gaussian heat from analytic salient points would need the
+                # heatmapper; cheap proxy: predictor-style mask via gaze
+                # predictor if provided, else zeros.
+                heat = jnp.zeros_like(obs)
+            if gaze_predictor_apply is not None:
+                pred = gaze_predictor_apply(params["gaze_predictor"], obs)  # [1,H,W,1]
+                heat = jnp.repeat(pred, s, axis=-1)
+            if heat is None:
+                heat = jnp.zeros_like(obs)
+
+        action = policy_fn(params, obs, heat)[0]
+        if confounded:
+            # two-pass predict -> overlay -> re-predict (bc_agent.py:321-352)
+            obs2 = jax.vmap(lambda f: confounded_overlay(f, action), in_axes=-1, out_axes=-1)(obs[0])
+            action = policy_fn(params, obs2[None], heat)[0]
+        # warm-up no-ops: full brake (noop_control, autonomous_agent.py:194-206)
+        noop = jnp.zeros(7).at[2].set(1.0)
+        action = jnp.where(state.t < WARMUP_STEPS, noop, action)
+        state = env.step(spec, state, action)
+        out = frame if return_frames else state.ego.pos
+        return (state, frames), out
+
+    def rollout(spec, params, key):
+        carry = init_carry(spec, key)
+        (state, _), trace = jax.lax.scan(
+            lambda c, x: tick(c, x, spec, params), carry, None, length=steps
+        )
+        return state, trace
+
+    return rollout
+
+
+def rollout_routes(specs, params, rollout_fn, key, mesh=None):
+    """vmap a rollout over a batch of WorldSpecs; optionally shard over 'data'."""
+    n = jax.tree.leaves(specs)[0].shape[0]
+    keys = jax.random.split(key, n)
+    fn = jax.vmap(rollout_fn, in_axes=(0, None, 0))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        specs = jax.device_put(specs, NamedSharding(mesh, P("data")))
+        fn = jax.jit(fn)
+    return fn(specs, params, keys)

@@ -1,0 +1,98 @@
+"""stats.json emission + sweep aggregation.
+
+Schema parity with StatisticsManager's per-route records
+(leaderboard utils/statistics_manager.py:69-163: scores dict, infractions
+lists, meta durations, status string) and with the sweep aggregator
+(eval/calc_scores.py:8-60: mean/variance of score_composed over routes x
+seeds read from a stats.json tree).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+ROUND = 3
+
+_INFRACTION_KEYS = [
+    ("collisions_pedestrian", "Agent collided against a pedestrian"),
+    ("collisions_vehicle", "Agent collided against a vehicle"),
+    ("collisions_static", "Agent collided against a static object"),
+    ("red_light", "Agent ran a red light"),
+    ("stop_infraction", "Agent ran a stop sign"),
+]
+
+
+def route_record(route_id: int, seed: int, score: dict, duration_game: float,
+                 duration_system: float = -1.0, route_length: float = 0.0) -> dict:
+    """One stats.json record from a compute_score() dict."""
+    s = {k: float(np.asarray(v)) for k, v in score.items()}
+    infractions = {}
+    for key, msg in _INFRACTION_KEYS:
+        n = int(s.get(key, 0))
+        infractions[key] = [msg] * n
+    infractions["outside_route_lanes"] = (
+        [f"Agent went outside its route lanes for {s['outside_route_lanes_pct']:.2f}% of the route"]
+        if s.get("outside_route_lanes_pct", 0) > 0.5
+        else []
+    )
+    infractions["route_timeout"] = []
+    infractions["route_dev"] = ["Agent deviated from the route"] if s.get("deviated") else []
+    infractions["vehicle_blocked"] = ["Agent got blocked"] if s.get("blocked") else []
+    infractions["scenario_timeouts"] = ["Scenario timed out"] if s.get("scenario_timeout") else []
+
+    completed = s["score_route"] >= 100.0
+    num_inf = sum(len(v) for v in infractions.values())
+    if completed:
+        status = "Perfect" if num_inf == 0 else "Completed"
+    elif s.get("deviated"):
+        status = "Failed - Agent deviated from the route"
+    elif s.get("blocked"):
+        status = "Failed - Agent got blocked"
+    else:
+        status = "Failed"
+
+    return {
+        "route_id": f"RouteScenario_{route_id}",
+        "seed": seed,
+        "index": 0,
+        "status": status,
+        "num_infractions": num_inf,
+        "infractions": infractions,
+        "scores": {
+            "score_route": round(s["score_route"], ROUND),
+            "score_penalty": round(s["score_penalty"], ROUND),
+            "score_composed": round(s["score_composed"], ROUND),
+        },
+        "meta": {
+            "route_length": round(route_length, ROUND),
+            "duration_game": round(duration_game, ROUND),
+            "duration_system": round(duration_system, ROUND),
+        },
+    }
+
+
+def write_stats_json(out_dir: str | Path, record: dict) -> Path:
+    """dataset-layout compatible: <out>/route_<id>/seed_<seed>/stats.json."""
+    rid = record["route_id"].split("_")[-1]
+    path = Path(out_dir) / f"route_{rid}" / f"seed_{record['seed']}" / "stats.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(record, indent=2))
+    return path
+
+
+def aggregate_scores(records: list[dict]) -> dict:
+    """calc_scores.py parity: mean/std of score_composed over routes x seeds."""
+    by_route: dict[str, list[float]] = {}
+    for r in records:
+        by_route.setdefault(r["route_id"], []).append(r["scores"]["score_composed"])
+    per_route = {k: float(np.mean(v)) for k, v in by_route.items()}
+    allv = [r["scores"]["score_composed"] for r in records]
+    return {
+        "mean": float(np.mean(allv)) if allv else 0.0,
+        "std": float(np.std(allv)) if allv else 0.0,
+        "n": len(allv),
+        "per_route": per_route,
+    }

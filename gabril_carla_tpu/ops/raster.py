@@ -1,0 +1,228 @@
+"""On-chip camera rasterizer: 320x180 fov-60 front view from the scene graph.
+
+Replaces the UE4 renderer + BGRA sensor stream (SURVEY §2: the reference
+renders 1920x1080 on the CARLA server and the agent downscales to 320x180,
+eval/my_agents/bc_agent.py:232-236; camera rig at (0.7, 0, 1.6) fov 60,
+eval/my_agents/autonomous_agent.py:80-83).
+
+TPU-first design: the expensive part — per-pixel distance to the route
+centerline — is phrased as one [n_pixels, 2] x [2, n_route] matmul (MXU),
+not a gather loop. Actors are depth-sorted screen-space boxes resolved with
+a masked min-reduce (no scatter, no sort). Everything is one jit/vmap-safe
+function of (WorldSpec, SceneState).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..env import constants as C
+from ..env.dynamics import left_normal
+
+W, H = 320, 180
+FOV_DEG = 60.0
+FX = (W / 2) / math.tan(math.radians(FOV_DEG) / 2)
+CX, CY = (W - 1) / 2.0, (H - 1) / 2.0
+CAM_FWD = 0.7  # m ahead of ego origin
+CAM_Z = 1.6  # m above ground
+MAX_DEPTH = 120.0
+
+# grayscale albedos
+SKY, GRASS, ROAD, MARK = 0.62, 0.42, 0.24, 0.85
+COL_CAR, COL_BIKE, COL_WALKER, COL_STATIC = 0.55, 0.48, 0.70, 0.38
+
+
+def _camera_basis(ego_pos, ego_yaw):
+    fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
+    right = jnp.stack([-fwd[1], fwd[0]])  # driver's right in the y-south frame
+    cam = ego_pos + CAM_FWD * fwd
+    return cam, fwd, right
+
+
+def _ground_points(cam, fwd, right):
+    """Per-pixel ground-plane hit (flat world): world xy + depth. [H, W, 2]."""
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    dv = jnp.maximum(v - CY, 1e-3)
+    z = jnp.clip(CAM_Z * FX / dv, 0.0, MAX_DEPTH)  # depth along fwd
+    x = (u - CX) / FX * z  # lateral offset along right
+    ground = cam[None, None] + z[..., None] * fwd[None, None] + x[..., None] * right[None, None]
+    below_horizon = (v - CY) > 0.5
+    return ground, z * jnp.ones_like(u), below_horizon & (z < MAX_DEPTH)
+
+
+ROUTE_VIEW = 160  # route points visible from the camera (1 m spacing)
+ROUTE_BEHIND = 16
+
+
+def _route_distance_field(spec, pts_flat, route_idx):
+    """Signed lateral distance + arclength of nearest visible route point.
+
+    dist^2 = |p|^2 + |q|^2 - 2 p.q -> one [n_pix, ROUTE_VIEW] MXU matmul over
+    a dynamic window around the ego's route index (the camera sees ~120 m;
+    the full 512-point buffer would burn HBM under vmap for nothing).
+    """
+    start = jnp.clip(route_idx - ROUTE_BEHIND, 0, spec.route_xy.shape[0] - ROUTE_VIEW)
+    q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_VIEW, 2))
+    qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
+    valid = (start + jnp.arange(ROUTE_VIEW)) < spec.n_route
+    p2 = jnp.sum(pts_flat**2, axis=1, keepdims=True)  # [N, 1]
+    q2 = jnp.sum(q**2, axis=1)[None, :]  # [1, V]
+    d2 = p2 + q2 - 2.0 * (pts_flat @ q.T)  # [N, V] MXU
+    d2 = jnp.where(valid[None, :], d2, jnp.inf)
+    idx = jnp.argmin(d2, axis=1)  # [N]
+    near = q[idx]
+    dirs = qd[idx]
+    rel = pts_flat - near
+    # positive = driver's left in the y-south frame
+    signed_left = -(dirs[:, 0] * rel[:, 1] - dirs[:, 1] * rel[:, 0])
+    return signed_left, (start + idx).astype(jnp.float32)
+
+
+def _project(cam, fwd, right, pts, z_world):
+    """World xy + height -> pixel (u, v, depth)."""
+    rel = pts - cam[None]
+    depth = rel @ fwd
+    lat = rel @ right
+    safe = jnp.maximum(depth, 0.3)
+    u = CX + FX * lat / safe
+    v = CY + FX * (CAM_Z - z_world) / safe
+    return u, v, depth
+
+
+def _actor_boxes(cam, fwd, right, pos, yaw, half_extent, alive, height):
+    """Screen-space AABB + depth per actor (cheap painter boxes)."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    dx = jnp.stack([c, s], -1) * half_extent[:, :1]
+    dy = jnp.stack([-s, c], -1) * half_extent[:, 1:]
+    corners = jnp.stack([pos + dx + dy, pos + dx - dy, pos - dx + dy, pos - dx - dy], 1)  # [N,4,2]
+    u, v_bot, depth = _project(cam, fwd, right, corners.reshape(-1, 2), 0.0)
+    _, v_top, _ = _project(cam, fwd, right, corners.reshape(-1, 2), height.repeat(4))
+    u = u.reshape(-1, 4)
+    v_bot = v_bot.reshape(-1, 4)
+    v_top = v_top.reshape(-1, 4)
+    depth = depth.reshape(-1, 4)
+    visible = alive & (jnp.max(depth, 1) > 0.5) & (jnp.min(depth, 1) < MAX_DEPTH)
+    return (
+        jnp.min(u, 1), jnp.max(u, 1),
+        jnp.min(v_top, 1), jnp.max(v_bot, 1),
+        jnp.where(visible, jnp.mean(jnp.maximum(depth, 0.3), 1), jnp.inf),
+        visible,
+    )
+
+
+def render_frame(spec, state) -> jnp.ndarray:
+    """Grayscale [H, W] frame in [0, 1] from the ego camera."""
+    ego = state.ego
+    cam, fwd, right = _camera_basis(ego.pos, ego.yaw)
+    ground, depth_map, on_ground = _ground_points(cam, fwd, right)
+
+    signed, near_s = _route_distance_field(spec, ground.reshape(-1, 2), ego.route_idx)
+    signed = signed.reshape(H, W)
+    near_s = near_s.reshape(H, W)
+
+    # terrain: own lane [-lw/2, lw/2] around centerline; opposite lane to the left
+    lw = C.LANE_WIDTH
+    on_road = (signed > -0.5 * lw - 0.3) & (signed < 1.5 * lw + 0.3)
+    # lane markings: dashed center divider at +lw/2, solid edges
+    dash = jnp.mod(near_s, 4.0) < 2.0
+    center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash
+    edge_r = jnp.abs(signed + 0.5 * lw) < 0.15
+    edge_l = jnp.abs(signed - 1.5 * lw) < 0.15
+    terrain = jnp.where(on_road, ROAD, GRASS)
+    terrain = jnp.where(center_line | edge_r | edge_l, MARK, terrain)
+    # distance haze
+    fade = jnp.clip(depth_map / MAX_DEPTH, 0.0, 1.0) * 0.25
+    terrain = terrain * (1 - fade) + SKY * fade
+
+    cloud = spec.weather[0] / 100.0
+    sky_col = SKY - 0.15 * cloud
+    v_grad = (jnp.arange(H, dtype=jnp.float32) / H)[:, None]
+    sky = sky_col + 0.12 * v_grad
+    img = jnp.where(on_ground, terrain, sky)
+
+    # ---- actors: masked min-depth composite over all pools
+    pools = []
+    veh = state.vehicles
+    vcol = jnp.where(veh.kind == 1, COL_BIKE, COL_CAR)
+    vh = jnp.where(veh.kind == 1, 1.7, 1.5)
+    pools.append(_actor_boxes(cam, fwd, right, veh.pos, veh.yaw, veh.half_extent, veh.alive, vh) + (vcol,))
+    st = state.statics
+    pools.append(
+        _actor_boxes(cam, fwd, right, st.pos, st.yaw, st.half_extent, st.alive,
+                     jnp.full(st.pos.shape[0], 1.4)) + (jnp.full(st.pos.shape[0], COL_STATIC),)
+    )
+    wk = state.walkers
+    wext = jnp.full((wk.pos.shape[0], 2), 0.35)
+    pools.append(
+        _actor_boxes(cam, fwd, right, wk.pos, jnp.zeros(wk.pos.shape[0]), wext, wk.alive,
+                     jnp.full(wk.pos.shape[0], 1.8)) + (jnp.full(wk.pos.shape[0], COL_WALKER),)
+    )
+
+    u0 = jnp.concatenate([p[0] for p in pools])
+    u1 = jnp.concatenate([p[1] for p in pools])
+    v0 = jnp.concatenate([p[2] for p in pools])
+    v1 = jnp.concatenate([p[3] for p in pools])
+    adepth = jnp.concatenate([p[4] for p in pools])
+    cols = jnp.concatenate([p[6] for p in pools])
+
+    uu = jnp.arange(W, dtype=jnp.float32)[None, None, :]  # [1,1,W]
+    vv = jnp.arange(H, dtype=jnp.float32)[None, :, None]  # [1,H,1]
+    inside = (
+        (uu >= u0[:, None, None]) & (uu <= u1[:, None, None])
+        & (vv >= v0[:, None, None]) & (vv <= v1[:, None, None])
+    )  # [A, H, W]
+    pix_depth = jnp.where(inside, adepth[:, None, None], jnp.inf)
+    best = jnp.argmin(pix_depth, axis=0)  # [H, W]
+    best_depth = jnp.min(pix_depth, axis=0)
+    hit = jnp.isfinite(best_depth)
+    shade = 1.0 - jnp.clip(best_depth / MAX_DEPTH, 0.0, 0.6)
+    img = jnp.where(hit, cols[best] * shade, img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def analytic_gaze(spec, state, max_points: int = 5) -> jnp.ndarray:
+    """Salient-actor gaze coords in [0,1]^2 (-1 invalid), from the scene graph.
+
+    Replaces the VLM pseudo-gaze path (saliency_pipeline: GroundingDINO +
+    Qwen filtering -> bbox centers) for closed-loop use: the nearest visible
+    dynamic actors ARE the salient objects.
+    """
+    ego = state.ego
+    cam, fwd, right = _camera_basis(ego.pos, ego.yaw)
+    pos = jnp.concatenate([state.vehicles.pos, state.walkers.pos, state.statics.pos])
+    alive = jnp.concatenate([state.vehicles.alive, state.walkers.alive, state.statics.alive])
+    z = jnp.concatenate([
+        jnp.full(state.vehicles.pos.shape[0], 0.9),
+        jnp.full(state.walkers.pos.shape[0], 1.0),
+        jnp.full(state.statics.pos.shape[0], 0.8),
+    ])
+    u, v, depth = _project(cam, fwd, right, pos, z)
+    visible = alive & (depth > 1.0) & (depth < 80.0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    score = jnp.where(visible, depth, jnp.inf)
+    order = jnp.argsort(score)[:max_points]
+    sel_valid = jnp.isfinite(score[order])
+    gx = jnp.where(sel_valid, u[order] / (W - 1), -1.0)
+    gy = jnp.where(sel_valid, v[order] / (H - 1), -1.0)
+    return jnp.stack([gx, gy], axis=-1).reshape(max_points * 2)
+
+
+def confounded_overlay(img: jnp.ndarray, action7: jnp.ndarray) -> jnp.ndarray:
+    """Bake action indicators into the frame (saliency_pipeline
+    build_confunded_obs.py semantics: brake dot + steering arrow)."""
+    h, w = img.shape[-2], img.shape[-1]
+    vv = jnp.arange(h, dtype=jnp.float32)[:, None]
+    uu = jnp.arange(w, dtype=jnp.float32)[None, :]
+    brake = action7[..., 2] > 0.8
+    dot = ((uu - 0.92 * w) ** 2 + (vv - 0.85 * h) ** 2) < (0.03 * w) ** 2
+    img = jnp.where(dot & brake, 1.0, img)
+    steer = jnp.clip(action7[..., 1], -1.0, 1.0)
+    bar_y = (jnp.abs(vv - 0.92 * h) < 0.015 * h)
+    cxp = 0.5 * w + steer * 0.2 * w
+    bar_x = (uu > jnp.minimum(cxp, 0.5 * w)) & (uu < jnp.maximum(cxp, 0.5 * w))
+    img = jnp.where(bar_y & bar_x, 0.95, img)
+    return img
