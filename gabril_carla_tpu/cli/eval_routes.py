@@ -1,0 +1,105 @@
+"""Closed-loop route evaluation CLI (env_manager.py + seen/unseen_eval.sh
+replacement): one sharded run evaluates every (route, seed) pair and writes
+per-route stats.json plus an aggregate — instead of one CARLA server per
+route per seed driven by bash loops (vlm_gaze/eval/seen_eval.sh:72-94).
+
+Resume parity with RouteIndexer.validate_and_resume (route_indexer.py:40-93):
+existing stats.json entries are skipped unless --no-resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..data.tasks import TASK_TO_ROUTE
+from ..env.criteria import compute_score
+from ..env.world import load_benchmark_specs
+from ..eval.agent import BCAgent
+from ..eval.rollout import make_rollout_fn
+from ..eval.stats import aggregate_scores, route_record, write_stats_json
+
+DEFAULT_XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
+
+
+def main(argv=None):
+    import jax
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True, help="checkpoint dir containing params.json")
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--routes_xml", default=DEFAULT_XML)
+    p.add_argument("--task", default="Mixed_", help="task name or 'Mixed_'")
+    p.add_argument("--split", default="test", choices=["train", "test", "test_unseen"])
+    p.add_argument("--route_id", type=int, default=None, help="single route override")
+    p.add_argument("--seeds", type=int, nargs="*", default=None)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--out", default="eval_out")
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.route_id is not None:
+        pairs = [(args.route_id, s) for s in (args.seeds or [400])]
+    else:
+        pairs = TASK_TO_ROUTE[args.task][args.split]
+        if args.seeds:
+            pairs = [(r, s) for r, _ in pairs for s in args.seeds]
+
+    out = Path(args.out)
+    if not args.no_resume:
+        pairs = [
+            (r, s) for r, s in pairs
+            if not (out / f"route_{r}" / f"seed_{s}" / "stats.json").exists()
+        ]
+    if not pairs:
+        print("Nothing to do (all stats present; use --no-resume to rerun)")
+        return 0
+
+    agent = BCAgent(args.checkpoint, epoch=args.epoch)
+    route_ids = sorted({r for r, _ in pairs})
+    specs = load_benchmark_specs(args.routes_xml, route_ids)
+    specs = jax.tree.map(jax.numpy.asarray, specs)
+    idx_of = {r: i for i, r in enumerate(route_ids)}
+
+    roll = make_rollout_fn(
+        agent.policy_fn(), agent.cfg, steps=args.steps,
+        gaze_predictor_apply=agent.gaze_predictor_apply,
+    )
+    roll_batch = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
+
+    spec_idx = np.asarray([idx_of[r] for r, _ in pairs])
+    batch_specs = jax.tree.map(lambda a: a[spec_idx], specs)
+    keys = jax.numpy.stack([jax.random.PRNGKey(s * 100003 + r) for r, s in pairs])
+    t0 = time.time()
+    states, _ = roll_batch(batch_specs, agent.params, keys)
+    states = jax.device_get(states)
+    wall = time.time() - t0
+
+    records = []
+    for i, (r, s) in enumerate(pairs):
+        one_spec = jax.tree.map(lambda a: a[idx_of[r]], specs)
+        one_state = jax.tree.map(lambda a: a[i], states)
+        score = compute_score(one_spec, one_state)
+        rec = route_record(
+            r, s, score,
+            duration_game=float(one_state.t) * 0.05,
+            duration_system=wall / len(pairs),
+            route_length=float(one_spec.route_len),
+        )
+        write_stats_json(out, rec)
+        records.append(rec)
+        print(f"route {r} seed {s}: score {rec['scores']['score_composed']:.2f} [{rec['status']}]")
+
+    agg = aggregate_scores(records)
+    (out / "aggregate.json").write_text(json.dumps(agg, indent=2))
+    print(f"mean driving score: {agg['mean']:.2f} ± {agg['std']:.2f} over {agg['n']} runs "
+          f"({wall:.1f}s wall for {len(pairs)} routes)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -88,11 +88,17 @@ def criteria_step(spec, state: SceneState, action_brake) -> SceneState:
     wk = state.walkers
     hit_w = (jnp.linalg.norm(wk.pos - ego.pos[None], axis=1) < (C.EGO_HALF_LEN + 0.4)) & wk.alive
     # rough front-sector refinement for walkers (circle vs OBB is overkill)
-    cooldown_ok = crit.collision_cooldown <= 0.0
+    # dedup: time window + "moved away since last event" radius
+    # (CollisionTest re-registration rule, atomic_criteria.py:296-298) —
+    # a deadlocked overlap counts once, not every cooldown period.
+    moved_away = jnp.linalg.norm(ego.pos - crit.last_collision_pos) > 4.0
+    cooldown_ok = (crit.collision_cooldown <= 0.0) & moved_away
     any_v = jnp.any(hit_v) & cooldown_ok
     any_w = jnp.any(hit_w) & cooldown_ok & ~any_v
     any_s = jnp.any(hit_s) & cooldown_ok & ~any_v & ~any_w
-    new_cool = jnp.where(any_v | any_w | any_s, C.COLLISION_DEDUP_TIME, jnp.maximum(crit.collision_cooldown - C.DT, 0.0))
+    fired = any_v | any_w | any_s
+    new_cool = jnp.where(fired, C.COLLISION_DEDUP_TIME, jnp.maximum(crit.collision_cooldown - C.DT, 0.0))
+    new_last = jnp.where(fired, ego.pos, crit.last_collision_pos)
 
     # --- blocked
     blocked_time = jnp.where(ego.speed < C.BLOCKED_SPEED, crit.blocked_time + C.DT, 0.0)
@@ -102,28 +108,32 @@ def criteria_step(spec, state: SceneState, action_brake) -> SceneState:
     deviated = crit.deviated | (lat > C.IN_ROUTE_RADIUS)
 
     # --- stop sign (VanillaNonSignalizedTurnEncounterStopsign routes):
-    # require a full stop inside [trigger-2, trigger+5] on the route.
+    # one full stop inside [trigger-4, trigger+5] satisfies the criterion
+    # (RunningStopTest semantics, atomic_criteria.py:1799: latched per sign).
     has_stop = spec.scen_aux[2] > 0.5
     s_ego = new_idx.astype(jnp.float32)
-    in_zone = has_stop & (s_ego >= spec.trigger_s - 2.0) & (s_ego <= spec.trigger_s + 5.0)
+    in_zone = has_stop & (s_ego >= spec.trigger_s - 4.0) & (s_ego <= spec.trigger_s + 5.0)
     stopped_now = ego.speed < C.BLOCKED_SPEED
-    pending = jnp.where(in_zone & ~stopped_now & ~crit.stop_pending, True, crit.stop_pending)
-    pending = jnp.where(in_zone & stopped_now, False, pending)
-    left_zone = has_stop & (s_ego > spec.trigger_s + 5.0) & crit.stop_pending
-    stop_inf = crit.stop_infraction + jnp.where(left_zone & (crit.stop_infraction == 0), 1, 0)
-    pending = jnp.where(left_zone, False, pending)
+    stop_done = crit.stop_done | (in_zone & stopped_now)
+    pending = in_zone & ~stop_done
+    left_zone = has_stop & (s_ego > spec.trigger_s + 5.0) & ~stop_done & (crit.stop_infraction == 0)
+    stop_inf = crit.stop_infraction + left_zone.astype(jnp.int32)
+    # leaving without stopping counts once; latch done so it doesn't re-fire
+    stop_done = stop_done | left_zone
 
     crit = crit.replace(
         collisions_vehicle=crit.collisions_vehicle + any_v.astype(jnp.int32),
         collisions_pedestrian=crit.collisions_pedestrian + any_w.astype(jnp.int32),
         collisions_static=crit.collisions_static + any_s.astype(jnp.int32),
         collision_cooldown=new_cool,
+        last_collision_pos=new_last,
         outside_lane_m=outside_m,
         driven_m=crit.driven_m + step_m,
         blocked_time=blocked_time,
         blocked=blocked,
         deviated=deviated,
         stop_pending=pending,
+        stop_done=stop_done,
         stop_infraction=stop_inf,
     )
     return state.replace(ego=ego.replace(route_idx=new_idx), criteria=crit)

@@ -44,7 +44,32 @@ def left_normal(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([d[..., 1], -d[..., 0]], axis=-1)
 
 
-def vehicles_step(pool: ActorPool, spec, dt: float = C.DT) -> ActorPool:
+def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, dt: float = C.DT):
+    """TrafficManager-style lead-vehicle braking for NPCs.
+
+    CARLA's TM brakes NPCs for obstacles ahead (SURVEY §2: TrafficManager
+    'NPC lane-following, lights/sign compliance'); without it, flows T-bone a
+    stopped ego forever. Returns a per-NPC speed cap.
+    """
+    n = pool.pos.shape[0]
+    hdg = jnp.stack([jnp.cos(pool.yaw), jnp.sin(pool.yaw)], -1)  # [N, 2]
+    # braking-distance-aware lookahead: v^2 / (2 * 4.5) + margin
+    look = 4.0 + pool.speed**2 / 9.0  # [N]
+    # vs ego
+    rel_e = ego_pos[None] - pool.pos
+    f_e = jnp.sum(rel_e * hdg, -1)
+    l_e = rel_e[:, 0] * hdg[:, 1] - rel_e[:, 1] * hdg[:, 0]
+    block_e = (f_e > 0.0) & (f_e < look) & (jnp.abs(l_e) < 2.2)
+    # vs other NPCs
+    rel = pool.pos[None, :, :] - pool.pos[:, None, :]  # [N, N, 2]
+    f = jnp.sum(rel * hdg[:, None, :], -1)
+    l = rel[..., 0] * hdg[:, None, 1] - rel[..., 1] * hdg[:, None, 0]
+    others = pool.alive[None, :] & ~jnp.eye(n, dtype=bool)
+    block_n = jnp.any(others & (f > 0.0) & (f < look[:, None] * 0.8) & (jnp.abs(l) < 1.5), axis=1)
+    return jnp.where(block_e | block_n, 0.0, jnp.inf)
+
+
+def vehicles_step(pool: ActorPool, spec, ego_pos=None, ego_yaw=None, dt: float = C.DT) -> ActorPool:
     """Advance NPC vehicles by mode.
 
     mode 1: advance along an assigned flow polyline (slot k uses flow
@@ -55,8 +80,11 @@ def vehicles_step(pool: ActorPool, spec, dt: float = C.DT) -> ActorPool:
     """
     n = pool.pos.shape[0]
     speed = jnp.where(pool.alive, pool.speed, 0.0)
+    target = pool.target_speed
+    if ego_pos is not None:
+        target = jnp.minimum(target, npc_collision_avoidance(pool, ego_pos, ego_yaw, dt))
     # relax speed toward target (simple first-order longitudinal control)
-    speed = speed + jnp.clip(pool.target_speed - speed, -4.0 * dt, 2.5 * dt)
+    speed = speed + jnp.clip(target - speed, -6.0 * dt, 2.5 * dt)
     speed = jnp.where(pool.mode > 0, speed, 0.0)
     new_s = pool.flow_s + pool.direction * speed * dt
 

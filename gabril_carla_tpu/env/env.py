@@ -115,7 +115,7 @@ class DrivingEnv:
         throttle, steer, brake = decode_action(action7)
         state = scenario_step(spec, state, sub)
         state = state.replace(
-            vehicles=vehicles_step(state.vehicles, spec),
+            vehicles=vehicles_step(state.vehicles, spec, state.ego.pos, state.ego.yaw),
             walkers=walkers_step(state.walkers),
             ego=ego_step(state.ego, throttle, steer, brake),
         )

@@ -112,9 +112,11 @@ class Criteria:
     collisions_pedestrian: jnp.ndarray
     collisions_static: jnp.ndarray
     collision_cooldown: jnp.ndarray  # f32 seconds left in dedup window
+    last_collision_pos: jnp.ndarray  # [2] ego position at the last event
     red_light: jnp.ndarray  # int32
     stop_infraction: jnp.ndarray  # int32
     stop_pending: jnp.ndarray  # bool: inside a stop zone, not yet stopped
+    stop_done: jnp.ndarray  # bool: made a full stop in the zone (latched)
     outside_lane_m: jnp.ndarray  # f32 meters driven outside lanes
     driven_m: jnp.ndarray  # f32 total meters driven
     blocked_time: jnp.ndarray  # f32 consecutive seconds below BLOCKED_SPEED
@@ -128,8 +130,10 @@ class Criteria:
         f0 = jnp.asarray(0.0)
         return Criteria(
             collisions_vehicle=i0, collisions_pedestrian=i0, collisions_static=i0,
-            collision_cooldown=f0, red_light=i0, stop_infraction=i0,
-            stop_pending=jnp.asarray(False), outside_lane_m=f0, driven_m=f0,
+            collision_cooldown=f0, last_collision_pos=jnp.full((2,), 1e9),
+            red_light=i0, stop_infraction=i0,
+            stop_pending=jnp.asarray(False), stop_done=jnp.asarray(False),
+            outside_lane_m=f0, driven_m=f0,
             blocked_time=f0, blocked=jnp.asarray(False), deviated=jnp.asarray(False),
             min_speed_pct=jnp.asarray(100.0),
         )

@@ -262,8 +262,7 @@ def build_world_spec(route: dict) -> WorldSpec:
             off = -_left(d) * (0.6 * lw / 2)
             add_static(k, p + off, math.atan2(d[1], d[0]), CAR_EXTENT)
         freq = scen.get("frequency", (32.0, 110.0))
-        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0,
-                      gap=(freq[0] / 2, freq[1] / 2))
+        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
         scen_aux[0] = s0
 
     elif stype == 3:  # DynamicObjectCrossing: blocker prop + crossing walker
@@ -300,7 +299,7 @@ def build_world_spec(route: dict) -> WorldSpec:
         # opened door pokes into the ego lane
         add_static(1, car + _left(d) * 1.4 + d * 1.0, math.atan2(d[1], d[0]), (0.7, 0.25))
         freq = scen.get("frequency", (36.0, 90.0))
-        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=(freq[0] / 2, freq[1] / 2))
+        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
         scen_aux[0] = s0
 
     elif stype == 6:  # PedestrianCrossing: 3 walkers over a crosswalk ahead

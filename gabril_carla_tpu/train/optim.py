@@ -16,7 +16,7 @@ import optax
 
 
 def _schedule(cfg_sched, cfg_train, base_lr: float, steps_per_epoch: int, grad_accum: int = 1):
-    kind = cfg_sched.get("type", "none")
+    kind = cfg_sched.get("type") or "none"
     epochs = cfg_train.get("epochs", 1)
     spe = max(1, steps_per_epoch // max(1, grad_accum))
 

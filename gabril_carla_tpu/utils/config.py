@@ -61,7 +61,7 @@ def _parse_value(s: str) -> Any:
         low = s.lower()
         if low in ("true", "false"):
             return low == "true"
-        if low in ("null", "none"):
+        if low == "null":  # note: "none" stays a string (scheduler.type=none)
             return None
         return s
 
