@@ -1,0 +1,166 @@
+"""Pallas TPU kernels for the camera rasterizer.
+
+Two generations measured on v5e (64-world batch, 180x320):
+  * XLA compositing materializes [n_actors, H, W] depth/mask tensors and a
+    [n_pixels, route_view] distance matrix -> ~40 ms per 64 frames.
+  * This fused kernel computes the whole frame per pixel block in VMEM
+    registers: camera rays, ground hits, a streaming route-distance loop,
+    terrain shading, and a streaming actor depth-composite — HBM traffic is
+    exactly one image write. No gathers, no big intermediates.
+
+Layout: pixels flattened row-major and padded to [512, 128] lane tiles;
+per-world scalars (camera basis, route window columns, actor screen boxes)
+ride along as VMEM column vectors. vmap over worlds batches the grid.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H, W = 180, 320
+FOV_DEG = 60.0
+FX = (W / 2) / math.tan(math.radians(FOV_DEG) / 2)
+CX, CY = (W - 1) / 2.0, (H - 1) / 2.0
+CAM_Z = 1.6
+MAX_DEPTH = 120.0
+SKY, GRASS, ROAD, MARK = 0.62, 0.42, 0.24, 0.85
+
+BLOCK_ROWS = 128
+LANES = 128
+N_PIX = H * W  # 57600
+ROWS_PAD = 512  # 512 * 128 = 65536 >= N_PIX
+GRID = ROWS_PAD // BLOCK_ROWS
+
+LANE_WIDTH = 3.5
+
+
+def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actors: int):
+    """One [BLOCK_ROWS, LANES] tile of the frame.
+
+    cam_ref:   [16, 1]  camera + scene scalars
+    route_ref: [view, 8] columns: qx qy dx dy valid (start_s in cam_ref)
+    boxes_ref: [n_actors, 8] columns: u0 u1 v0 v1 depth color valid pad
+    """
+    i = pl.program_id(0)
+    base = i * BLOCK_ROWS * LANES
+    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 1).astype(jnp.float32)
+    flat = base + row * LANES + lane
+    v = jnp.floor(flat / W)
+    u = flat - v * W
+    in_frame = v < H
+
+    cam_x = cam_ref[0, 0]
+    cam_y = cam_ref[1, 0]
+    fwd_x = cam_ref[2, 0]
+    fwd_y = cam_ref[3, 0]
+    rgt_x = cam_ref[4, 0]
+    rgt_y = cam_ref[5, 0]
+    cloud = cam_ref[6, 0]
+    start_s = cam_ref[7, 0]
+
+    dv = jnp.maximum(v - CY, 1e-3)
+    z = jnp.clip(CAM_Z * FX / dv, 0.0, MAX_DEPTH)
+    on_ground = ((v - CY) > 0.5) & (z < MAX_DEPTH)
+    x = (u - CX) / FX * z
+    gx = cam_x + z * fwd_x + x * rgt_x
+    gy = cam_y + z * fwd_y + x * rgt_y
+
+    # ---- streaming route distance field
+    def rbody(k, carry):
+        best_d2, best_lat, best_s = carry
+        qx = route_ref[k, 0]
+        qy = route_ref[k, 1]
+        dx = route_ref[k, 2]
+        dy = route_ref[k, 3]
+        ok = route_ref[k, 4]
+        rx = gx - qx
+        ry = gy - qy
+        d2 = rx * rx + ry * ry + (1.0 - ok) * 1e12
+        upd = d2 < best_d2
+        lat = -(dx * ry - dy * rx)
+        return (
+            jnp.where(upd, d2, best_d2),
+            jnp.where(upd, lat, best_lat),
+            jnp.where(upd, jnp.float32(k), best_s),
+        )
+
+    init = (
+        jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32),
+        jnp.zeros((BLOCK_ROWS, LANES), jnp.float32),
+        jnp.zeros((BLOCK_ROWS, LANES), jnp.float32),
+    )
+    _, signed, s_off = jax.lax.fori_loop(0, view, rbody, init)
+    near_s = start_s + s_off
+
+    # ---- terrain shading (raster.py contract)
+    lw = LANE_WIDTH
+    on_road = (signed > -0.5 * lw - 0.3) & (signed < 1.5 * lw + 0.3)
+    dash = jnp.mod(near_s, 4.0) < 2.0
+    center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash
+    edge = (jnp.abs(signed + 0.5 * lw) < 0.15) | (jnp.abs(signed - 1.5 * lw) < 0.15)
+    terrain = jnp.where(on_road, ROAD, GRASS)
+    terrain = jnp.where(center_line | edge, MARK, terrain)
+    fade = jnp.clip(z / MAX_DEPTH, 0.0, 1.0) * 0.25
+    terrain = terrain * (1.0 - fade) + SKY * fade
+
+    sky_col = SKY - 0.15 * cloud
+    sky = sky_col + 0.12 * (v / H)
+    img = jnp.where(on_ground, terrain, sky)
+
+    # ---- streaming actor composite (painter by min depth)
+    def abody(a, carry):
+        best_d, best_c = carry
+        u0 = boxes_ref[a, 0]
+        u1 = boxes_ref[a, 1]
+        v0 = boxes_ref[a, 2]
+        v1 = boxes_ref[a, 3]
+        d = boxes_ref[a, 4]
+        c = boxes_ref[a, 5]
+        ok = boxes_ref[a, 6]
+        inside = (u >= u0) & (u <= u1) & (v >= v0) & (v <= v1) & (ok > 0.5) & (d < best_d)
+        return jnp.where(inside, d, best_d), jnp.where(inside, c, best_c)
+
+    binit = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32), jnp.zeros((BLOCK_ROWS, LANES), jnp.float32))
+    best_d, best_c = jax.lax.fori_loop(0, n_actors, abody, binit)
+    hit = best_d < 1e29
+    shade = 1.0 - jnp.clip(best_d / MAX_DEPTH, 0.0, 0.6)
+    img = jnp.where(hit, best_c * shade, img)
+
+    img_ref[:] = jnp.where(in_frame, jnp.clip(img, 0.0, 1.0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("view", "n_actors", "interpret"))
+def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actors: int,
+                        interpret: bool = False):
+    """cam_scalars [16], route_cols [view, 8], actor_boxes [n_actors, 8]
+    -> grayscale frame [H, W] in [0, 1].
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU CI
+    parity tests vs the XLA oracle in raster.py)."""
+    kernel = functools.partial(_render_kernel, view=view, n_actors=n_actors)
+    img = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(GRID,),
+        in_specs=[
+            # scalars in SMEM: the route/actor loops issue one scalar load per
+            # iteration — VMEM scalar reads stall the VPU
+            pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((view, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_actors, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ROWS_PAD, LANES), jnp.float32),
+    )(
+        cam_scalars.reshape(16, 1).astype(jnp.float32),
+        route_cols.astype(jnp.float32),
+        actor_boxes.astype(jnp.float32),
+    )
+    return img.reshape(-1)[:N_PIX].reshape(H, W)

@@ -115,10 +115,66 @@ def _actor_boxes(cam, fwd, right, pos, yaw, half_extent, alive, height):
     )
 
 
+def _collect_actor_boxes(state, cam, fwd, right):
+    """All pools -> screen AABB columns [A, 8]: u0 u1 v0 v1 depth color ok."""
+    pools = []
+    veh = state.vehicles
+    vcol = jnp.where(veh.kind == 1, COL_BIKE, COL_CAR)
+    vh = jnp.where(veh.kind == 1, 1.7, 1.5)
+    pools.append(_actor_boxes(cam, fwd, right, veh.pos, veh.yaw, veh.half_extent, veh.alive, vh) + (vcol,))
+    st = state.statics
+    pools.append(
+        _actor_boxes(cam, fwd, right, st.pos, st.yaw, st.half_extent, st.alive,
+                     jnp.full(st.pos.shape[0], 1.4)) + (jnp.full(st.pos.shape[0], COL_STATIC),)
+    )
+    wk = state.walkers
+    wext = jnp.full((wk.pos.shape[0], 2), 0.35)
+    pools.append(
+        _actor_boxes(cam, fwd, right, wk.pos, jnp.zeros(wk.pos.shape[0]), wext, wk.alive,
+                     jnp.full(wk.pos.shape[0], 1.8)) + (jnp.full(wk.pos.shape[0], COL_WALKER),)
+    )
+    cols = [jnp.concatenate([p[k] for p in pools]) for k in range(7)]
+    u0, u1, v0, v1, depth, vis, color = cols
+    a = u0.shape[0]
+    return jnp.stack(
+        [u0, u1, v0, v1, jnp.where(vis, depth, 1e30), color,
+         vis.astype(jnp.float32), jnp.zeros(a)], axis=1
+    )
+
+
 def render_frame(spec, state) -> jnp.ndarray:
-    """Grayscale [H, W] frame in [0, 1] from the ego camera."""
+    """Grayscale [H, W] frame in [0, 1] from the ego camera.
+
+    TPU path: one fused Pallas kernel (pallas_raster.render_frame_pallas);
+    CPU path: the reference XLA formulation below (kept as the numeric oracle
+    for kernel tests).
+    """
     ego = state.ego
     cam, fwd, right = _camera_basis(ego.pos, ego.yaw)
+
+    if jax.default_backend() == "tpu":
+        from .pallas_raster import render_frame_pallas
+
+        start = jnp.clip(ego.route_idx - ROUTE_BEHIND, 0, spec.route_xy.shape[0] - ROUTE_VIEW)
+        q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_VIEW, 2))
+        qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
+        valid = ((start + jnp.arange(ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
+        route_cols = jnp.concatenate(
+            [q, qd, valid[:, None], jnp.zeros((ROUTE_VIEW, 3))], axis=1
+        )
+        cam_scalars = jnp.concatenate(
+            [cam, fwd, right,
+             jnp.stack([spec.weather[0] / 100.0, start.astype(jnp.float32)]),
+             jnp.zeros(8)]
+        )
+        boxes = _collect_actor_boxes(state, cam, fwd, right)
+        return render_frame_pallas(cam_scalars, route_cols, boxes, ROUTE_VIEW, boxes.shape[0])
+
+    return _render_frame_xla(spec, state, cam, fwd, right)
+
+
+def _render_frame_xla(spec, state, cam, fwd, right) -> jnp.ndarray:
+    ego = state.ego
     ground, depth_map, on_ground = _ground_points(cam, fwd, right)
 
     signed, near_s = _route_distance_field(spec, ground.reshape(-1, 2), ego.route_idx)
