@@ -24,11 +24,21 @@ import numpy as np
 
 @dataclass
 class EpisodeStore:
-    """In-memory episode arrays."""
+    """In-memory episode arrays.
+
+    `finalize()` packs episodes into flat contiguous buffers (one per stream)
+    so the native gather library can assemble batches with threaded memcpys;
+    per-episode views stay available through `.images/.gazes/.actions`.
+    """
 
     images: list[np.ndarray] = field(default_factory=list)  # each [T,H,W,3] uint8
     gazes: list[np.ndarray] = field(default_factory=list)  # each [T,P*2] f32
     actions: list[np.ndarray] = field(default_factory=list)  # each [T,A] f32
+    flat_images: np.ndarray | None = None
+    flat_gazes: np.ndarray | None = None
+    flat_actions: np.ndarray | None = None
+    offsets: np.ndarray | None = None  # [D] start row per demo
+    lengths: np.ndarray | None = None  # [D]
 
     def add(self, images: np.ndarray, gazes: np.ndarray, actions: np.ndarray):
         t = len(images)
@@ -36,6 +46,21 @@ class EpisodeStore:
         self.images.append(np.ascontiguousarray(images))
         self.gazes.append(np.ascontiguousarray(gazes, dtype=np.float32))
         self.actions.append(np.ascontiguousarray(actions, dtype=np.float32))
+        self.flat_images = None  # invalidate
+
+    def finalize(self) -> "EpisodeStore":
+        if self.flat_images is None and self.images:
+            self.lengths = np.asarray([len(x) for x in self.images], np.int64)
+            self.offsets = np.concatenate([[0], np.cumsum(self.lengths)[:-1]]).astype(np.int64)
+            self.flat_images = np.concatenate(self.images, axis=0)
+            self.flat_gazes = np.concatenate(self.gazes, axis=0)
+            self.flat_actions = np.concatenate(self.actions, axis=0)
+            # re-point per-episode arrays at views into the flat buffers
+            bounds = np.cumsum(self.lengths)[:-1]
+            self.images = np.split(self.flat_images, bounds)
+            self.gazes = np.split(self.flat_gazes, bounds)
+            self.actions = np.split(self.flat_actions, bounds)
+        return self
 
     @property
     def n_demos(self) -> int:
@@ -84,16 +109,26 @@ def synthetic_episodes(
 
 
 class BCDataset:
-    """Windowed BC sampler over an EpisodeStore."""
+    """Windowed BC sampler over an EpisodeStore.
 
-    def __init__(self, store: EpisodeStore, frame_stack: int = 2):
-        self.store = store
+    Batch assembly runs through the native threaded-memcpy library
+    (gabril_carla_tpu/native) when available, else a numpy loop.
+    """
+
+    def __init__(self, store: EpisodeStore, frame_stack: int = 2, use_native: bool = True):
+        self.store = store.finalize()
         self.frame_stack = int(frame_stack)
         # flat (demo, t) index with front padding (every t is a sample)
         self._index = np.array(
             [(d, t) for d in range(store.n_demos) for t in range(len(store.images[d]))],
             dtype=np.int64,
         )
+        self._native = None
+        if use_native:
+            from .. import native
+
+            if native.lib() is not None:
+                self._native = native
 
     def __len__(self) -> int:
         return len(self._index)
@@ -109,16 +144,35 @@ class BCDataset:
     def sample(self, idxs: np.ndarray) -> dict:
         s = self.frame_stack
         n = len(idxs)
-        img0 = self.store.images[0]
+        st = self.store
+        img0 = st.images[0]
         obs = np.empty((n, s, *img0.shape[1:]), dtype=img0.dtype)
-        gaze = np.empty((n, s, self.store.gazes[0].shape[-1]), dtype=np.float32)
-        acts = np.empty((n, self.store.actions[0].shape[-1]), dtype=np.float32)
-        for i, flat in enumerate(idxs):
-            d, t = self._index[flat]
+        gaze = np.empty((n, s, st.gazes[0].shape[-1]), dtype=np.float32)
+        acts = np.empty((n, st.actions[0].shape[-1]), dtype=np.float32)
+
+        pairs = self._index[np.asarray(idxs)]
+        demo_idx = np.ascontiguousarray(pairs[:, 0])
+        t_idx = np.ascontiguousarray(pairs[:, 1])
+
+        if self._native is not None and img0.dtype == np.uint8:
+            row = int(np.prod(img0.shape[1:]))
+            self._native.gather_windows_u8(
+                st.flat_images, st.offsets, st.lengths, row, demo_idx, t_idx, s,
+                obs.reshape(n, s, row))
+            self._native.gather_windows_f32(
+                st.flat_gazes, st.offsets, st.lengths, st.flat_gazes.shape[-1],
+                demo_idx, t_idx, s, gaze)
+            self._native.gather_rows_f32(
+                st.flat_actions, st.offsets, st.lengths, st.flat_actions.shape[-1],
+                demo_idx, t_idx, acts)
+            return {"obs_seq": obs, "gaze_seq": gaze, "actions": acts}
+
+        for i in range(n):
+            d, t = demo_idx[i], t_idx[i]
             win = self._window(d, t)
-            obs[i] = self.store.images[d][win]
-            gaze[i] = self.store.gazes[d][win]
-            acts[i] = self.store.actions[d][t]
+            obs[i] = st.images[d][win]
+            gaze[i] = st.gazes[d][win]
+            acts[i] = st.actions[d][t]
         return {"obs_seq": obs, "gaze_seq": gaze, "actions": acts}
 
     def iter_batches(self, batch_size: int, rng: np.random.Generator, drop_last: bool = True):

@@ -104,6 +104,14 @@ def criteria_step(spec, state: SceneState, action_brake) -> SceneState:
     blocked_time = jnp.where(ego.speed < C.BLOCKED_SPEED, crit.blocked_time + C.DT, 0.0)
     blocked = crit.blocked | (blocked_time >= C.BLOCKED_SECONDS)
 
+    # --- red light (derived-state FSM, traffic_lights.py)
+    from .traffic_lights import red_light_crossing
+
+    ran_red = red_light_crossing(
+        spec.tl_stop_s, spec.tl_offset, spec.n_tl, ego.route_idx, new_idx,
+        state.t.astype(jnp.float32) * C.DT,
+    )
+
     # --- route deviation
     deviated = crit.deviated | (lat > C.IN_ROUTE_RADIUS)
 
@@ -129,6 +137,8 @@ def criteria_step(spec, state: SceneState, action_brake) -> SceneState:
         last_collision_pos=new_last,
         outside_lane_m=outside_m,
         driven_m=crit.driven_m + step_m,
+        speed_sum=crit.speed_sum + ego.speed * C.DT,
+        red_light=crit.red_light + ran_red.astype(jnp.int32),
         blocked_time=blocked_time,
         blocked=blocked,
         deviated=deviated,
@@ -164,8 +174,15 @@ def compute_score(spec, state: SceneState) -> dict:
     # OUTSIDE_ROUTE_LANES: 'increases' with value 0 -> *= (1 - pct_outside/100)
     pct_outside = 100.0 * crit.outside_lane_m / jnp.maximum(crit.driven_m, 1e-3)
     penalty = penalty * (1.0 - jnp.clip(pct_outside, 0.0, 100.0) / 100.0)
-    # MIN_SPEED: 'decreases', per-unit 0.7 -> *= 1 - 0.3*(1 - value/100)
-    penalty = penalty * (1.0 - (1.0 - C.PENALTY_MIN_SPEED) * (1.0 - crit.min_speed_pct / 100.0))
+    # MIN_SPEED: 'decreases', per-unit 0.7 -> *= 1 - 0.3*(1 - value/100).
+    # Active on the merger scenarios (MinimumSpeedRouteTest in actor_flow
+    # scenarios): value = ego mean speed as a % of the scenario flow speed.
+    sim_t = jnp.maximum(state.t.astype(jnp.float32) * 0.05, 1e-3)
+    mean_speed = crit.speed_sum / sim_t
+    ref_speed = jnp.maximum(spec.flow_speed[0], 1.0)
+    measured_pct = jnp.clip(100.0 * mean_speed / ref_speed, 0.0, 100.0)
+    min_speed_pct = jnp.where(spec.scenario_type == 7, measured_pct, crit.min_speed_pct)
+    penalty = penalty * (1.0 - (1.0 - C.PENALTY_MIN_SPEED) * (1.0 - min_speed_pct / 100.0))
     score = jnp.maximum(pct * penalty, 0.0)
     return {
         "score_route": pct,

@@ -119,6 +119,7 @@ class Criteria:
     stop_done: jnp.ndarray  # bool: made a full stop in the zone (latched)
     outside_lane_m: jnp.ndarray  # f32 meters driven outside lanes
     driven_m: jnp.ndarray  # f32 total meters driven
+    speed_sum: jnp.ndarray  # f32 integrated speed (MinimumSpeedRouteTest)
     blocked_time: jnp.ndarray  # f32 consecutive seconds below BLOCKED_SPEED
     blocked: jnp.ndarray  # bool VEHICLE_BLOCKED fired
     deviated: jnp.ndarray  # bool ROUTE_DEVIATION fired
@@ -133,7 +134,7 @@ class Criteria:
             collision_cooldown=f0, last_collision_pos=jnp.full((2,), 1e9),
             red_light=i0, stop_infraction=i0,
             stop_pending=jnp.asarray(False), stop_done=jnp.asarray(False),
-            outside_lane_m=f0, driven_m=f0,
+            outside_lane_m=f0, driven_m=f0, speed_sum=f0,
             blocked_time=f0, blocked=jnp.asarray(False), deviated=jnp.asarray(False),
             min_speed_pct=jnp.asarray(100.0),
         )

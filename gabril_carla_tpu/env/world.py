@@ -46,6 +46,7 @@ SCENARIO_TYPES = {
 }
 
 N_FLOWS = 2  # slot 0: explicit/source flow; slot 1: oncoming ("TwoWays") flow
+N_TRAFFIC_LIGHTS = 4
 
 CAR_EXTENT = (2.4, 0.95)
 BIKE_EXTENT = (0.9, 0.4)
@@ -96,6 +97,11 @@ class WorldSpec:
     scen_aux: np.ndarray  # [4] type-specific floats
     route_id: np.ndarray = field(default_factory=lambda: np.int32(0))
     weather: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
+    # traffic lights (stop-line arclengths + phase offsets; n_tl = 0 on the
+    # benchmark routes, whose junctions run frozen-green — see traffic_lights)
+    tl_stop_s: np.ndarray = field(default_factory=lambda: np.zeros(N_TRAFFIC_LIGHTS, np.float32))
+    tl_offset: np.ndarray = field(default_factory=lambda: np.zeros(N_TRAFFIC_LIGHTS, np.float32))
+    n_tl: np.ndarray = field(default_factory=lambda: np.int32(0))
 
 
 def _left(d: np.ndarray) -> np.ndarray:

@@ -14,14 +14,17 @@ import jax
 from ..data.dataset import BCDataset
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.logging import ExperimentLogger
+from ..utils.profiling import StageTimer
 from .bc import init_bc_state, make_bc_train_step
-from .checkpoint import save_manifest, save_params
+from .checkpoint import restore_params, save_manifest, save_params
 from .gaze_predictor import init_gaze_state, make_gaze_train_step
 from .optim import build_optimizer
+from .vqvae import init_vqvae_state, make_vqvae_train_step
 
 
 class Trainer:
-    """mode: 'bc' (BCTrainer parity) or 'gaze' (GazePredictorTrainer parity)."""
+    """mode: 'bc' (BCTrainer parity), 'gaze' (GazePredictorTrainer parity),
+    or 'vqvae' (Oreo quantizer pretraining)."""
 
     def __init__(self, cfg, dataset: BCDataset, mode: str = "bc", mesh=None):
         self.cfg = cfg
@@ -39,11 +42,16 @@ class Trainer:
         if mode == "bc":
             self.models, self.state = init_bc_state(cfg, rng, tx)
             self.step_fn = make_bc_train_step(self.models, cfg, donate=donate)
+            self._maybe_load_vqvae()
         elif mode == "gaze":
             (self.model, self.heatmapper), self.state = init_gaze_state(cfg, rng, tx)
             self.step_fn = make_gaze_train_step(self.model, self.heatmapper, cfg, donate=donate)
+        elif mode == "vqvae":
+            (self.models, self.heatmapper), self.state = init_vqvae_state(cfg, rng, tx)
+            self.step_fn = make_vqvae_train_step(self.models, self.heatmapper, cfg, donate=donate)
         else:
             raise ValueError(f"unknown mode {mode}")
+        self.timer = StageTimer()
         self.logger = ExperimentLogger(cfg)
         self._rng = np.random.default_rng(cfg.get_path("training.seed", 0))
         self._step_key = jax.random.PRNGKey(cfg.get_path("training.seed", 0) + 1)
@@ -58,15 +66,18 @@ class Trainer:
         for epoch in range(epochs):
             totals, count = {}, 0
             for batch in self.dataset.iter_batches(bs, self._rng):
-                batch = shard_batch(batch, self.mesh)
-                self._step_key, sub = jax.random.split(self._step_key)
-                self.state, metrics = self.step_fn(self.state, batch, sub)
+                with self.timer.stage("data"):
+                    batch = shard_batch(batch, self.mesh)
+                with self.timer.stage("step"):
+                    self._step_key, sub = jax.random.split(self._step_key)
+                    self.state, metrics = self.step_fn(self.state, batch, sub)
                 count += 1
                 for k, v in metrics.items():
                     totals[k] = totals.get(k, 0.0) + v
                 self._global_step += 1
             # one host sync per epoch
-            avg = {k: float(jax.device_get(v)) / count for k, v in totals.items()}
+            with self.timer.stage("sync"):
+                avg = {k: float(jax.device_get(v)) / count for k, v in totals.items()}
             self.logger.log_scalars(self._global_step, {"epoch": epoch + 1, **avg})
             self.logger.print(
                 f"epoch {epoch + 1}/{epochs}: " + ", ".join(f"{k}={v:.5f}" for k, v in avg.items())
@@ -79,5 +90,25 @@ class Trainer:
     def save(self, epoch: int):
         save_params(self.logger.ckpt_dir, epoch, self.state.params)
         if self.cfg.get_path("logging.save_params", True):
-            extra = {"model_type": "gaze_predictor"} if self.mode == "gaze" else None
+            extra = None
+            if self.mode != "bc":
+                extra = {"model_type": "gaze_predictor" if self.mode == "gaze" else self.mode}
             save_manifest(self.logger.ckpt_dir, self.cfg, epoch, extra=extra)
+
+    def _maybe_load_vqvae(self):
+        """Oreo: adopt a pretrained VQ-VAE's encoder + frozen quantizer
+        (train_bc.py:87-99 parity)."""
+        from pathlib import Path
+
+        path = self.cfg.get_path("dropout.vqvae_path", "")
+        if self.cfg.get_path("dropout.method") != "Oreo" or not path:
+            return
+        if not Path(path).exists():
+            self.logger.print(f"Warning: VQ-VAE model not found at {path}")
+            return
+        loaded = restore_params(path)
+        params = dict(self.state.params)
+        params["encoder"] = loaded["encoder"]
+        params["quantizer"] = loaded["quantizer"]
+        self.state = self.state.replace(params=params)
+        self.logger.print(f"Loaded VQ-VAE from {path}")

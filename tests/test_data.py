@@ -1,0 +1,77 @@
+"""Data layer: native gather parity, HDF5 round trip, converter coercion."""
+
+import numpy as np
+import pytest
+
+from gabril_carla_tpu.data import BCDataset, synthetic_episodes
+from gabril_carla_tpu.data.converter import coerce_gaze, coerce_images
+from gabril_carla_tpu.data.dataset import load_hdf5
+
+
+def test_native_gather_matches_numpy():
+    store = synthetic_episodes(n_demos=3, steps=11, img_hw=(16, 20), max_points=2, seed=3)
+    ds_native = BCDataset(store, frame_stack=3, use_native=True)
+    store2 = synthetic_episodes(n_demos=3, steps=11, img_hw=(16, 20), max_points=2, seed=3)
+    ds_numpy = BCDataset(store2, frame_stack=3, use_native=False)
+    if ds_native._native is None:
+        pytest.skip("native gather lib unavailable")
+    idxs = np.asarray([0, 1, 10, 11, 12, 21, 32])  # episode boundaries + clamps
+    a, b = ds_native.sample(idxs), ds_numpy.sample(idxs)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_hdf5_round_trip(tmp_path):
+    import h5py
+
+    store = synthetic_episodes(n_demos=2, steps=7, img_hw=(8, 10), max_points=2, seed=1)
+    path = tmp_path / "x.hdf5"
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        for i in range(2):
+            g = data.create_group(f"demo_{i}")
+            g.attrs["num_samples"] = 7
+            og = g.create_group("obs")
+            og.create_dataset("image", data=store.images[i])
+            og.create_dataset("gaze_coords", data=store.gazes[i])
+            g.create_dataset("actions", data=store.actions[i])
+    loaded = load_hdf5(str(path))
+    assert loaded.n_demos == 2
+    np.testing.assert_array_equal(loaded.images[1], store.images[1])
+    np.testing.assert_array_equal(loaded.actions[0], store.actions[0])
+
+
+def test_coerce_images_formats():
+    t = 4
+    # TCHW float [0,1] -> THWC uint8
+    x = np.random.default_rng(0).random((t, 3, 6, 8)).astype(np.float32)
+    out = coerce_images(x)
+    assert out.shape == (t, 6, 8, 3) and out.dtype == np.uint8
+
+
+def test_coerce_gaze_bbox_and_pixels():
+    t, hw = 3, (10, 20)
+    # [T, P, 4] pixel bboxes -> centers normalized
+    boxes = np.zeros((t, 2, 4), np.float32)
+    boxes[:, 0] = [2, 2, 6, 6]  # center (4, 4) px
+    boxes[:, 1] = -1
+    out = coerce_gaze([b for b in boxes], t, hw, max_points=3).reshape(t, 3, 2)
+    np.testing.assert_allclose(out[0, 0], [4 / 19, 4 / 9], atol=1e-6)
+    assert np.all(out[:, 2] == -1)
+
+
+def test_converter_episode_tree(tmp_path):
+    from gabril_carla_tpu.data.converter import convert_episodes
+
+    ep = tmp_path / "route_7" / "seed_1"
+    ep.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    np.savez(ep / "observations.npz", observations=rng.integers(0, 255, (5, 8, 10, 3), dtype=np.uint8))
+    np.savez(ep / "actions.npz", actions=rng.random((5, 7)).astype(np.float32))
+    np.savez(ep / "gaze.npz", gaze=rng.random((5, 10)).astype(np.float32))
+    out = tmp_path / "out.hdf5"
+    n = convert_episodes(tmp_path, out, max_gaze_points=5)
+    assert n == 1
+    store = load_hdf5(str(out), gaze_key="gaze_coords_gaze")
+    assert store.images[0].shape == (5, 8, 10, 3)
+    assert store.gazes[0].shape == (5, 10)
