@@ -1,0 +1,153 @@
+"""Full Bench2Drive-TPU benchmark: expert data -> BC/GABRIL -> driving scores.
+
+Reproduces the reference's experimental protocol (BASELINE.md) end-to-end on
+one chip: collect expert demonstrations on the 10 seen routes, train method
+variants, evaluate closed-loop on the seen and unseen splits (seed 400
+protocol), and write stats.json trees + an aggregate report.
+
+Usage:
+    nohup python -u examples/full_benchmark.py --out results/ &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gabril_carla_tpu.data import BCDataset, EpisodeStore, seen_routes, unseen_routes
+    from gabril_carla_tpu.env import DrivingEnv
+    from gabril_carla_tpu.env.criteria import compute_score
+    from gabril_carla_tpu.env.expert import expert_action
+    from gabril_carla_tpu.env.world import load_benchmark_specs
+    from gabril_carla_tpu.eval.rollout import make_rollout_fn
+    from gabril_carla_tpu.eval.stats import aggregate_scores, route_record, write_stats_json
+    from gabril_carla_tpu.ops.raster import analytic_gaze, render_frame
+    from gabril_carla_tpu.train import Trainer
+    from gabril_carla_tpu.train.bc import make_bc_policy_fn
+    from gabril_carla_tpu.utils import default_bc_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--train_seeds", type=int, nargs="*", default=list(range(200, 212)))
+    p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
+    p.add_argument("--collect_steps", type=int, default=900)
+    p.add_argument("--eval_steps", type=int, default=1600)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--methods", nargs="*", default=["None", "Reg"])
+    p.add_argument("--out", default="results")
+    args = p.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    env = DrivingEnv()
+    seen = seen_routes()
+    unseen = unseen_routes()
+    all_specs = load_benchmark_specs(args.routes_xml, seen + unseen)
+    all_specs = jax.tree.map(jnp.asarray, all_specs)
+    idx_of = {r: i for i, r in enumerate(seen + unseen)}
+
+    # ---------- 1. collect expert data on seen routes (one compile, reuse)
+    @jax.jit
+    def collect(spec, key):
+        def tick(state, _):
+            frame = render_frame(spec, state)
+            gaze = analytic_gaze(spec, state)
+            action = expert_action(spec, state)
+            state = env.step(spec, state, action)
+            return state, (frame, action, gaze)
+
+        state, outs = jax.lax.scan(tick, env.reset(spec, key), None, length=args.collect_steps)
+        frames_u8 = (outs[0] * 255.0).astype(jnp.uint8)
+        return state, frames_u8, outs[1], outs[2]
+
+    t0 = time.time()
+    store = EpisodeStore()
+    expert_records = []
+    for r in seen:
+        spec = jax.tree.map(lambda a: a[idx_of[r]], all_specs)
+        for s in args.train_seeds:
+            state, frames, actions, gazes = collect(spec, jax.random.PRNGKey(s * 1000 + r))
+            n = int(np.asarray(state.t))
+            store.add(np.asarray(frames[:n])[..., None], np.asarray(gazes[:n]), np.asarray(actions[:n]))
+            sc = compute_score(spec, state)
+            expert_records.append(route_record(r, s, sc, duration_game=n * 0.05,
+                                               route_length=float(spec.route_len)))
+        done = [rec for rec in expert_records if rec["route_id"].endswith(str(r))]
+        print(f"[collect] route {r}: {len(args.train_seeds)} seeds, "
+              f"expert score {np.mean([d['scores']['score_composed'] for d in done]):.1f}", flush=True)
+    n_frames = int(sum(len(x) for x in store.images))
+    expert_agg = aggregate_scores(expert_records)
+    print(f"[collect] {n_frames} frames over {len(expert_records)} episodes in "
+          f"{time.time()-t0:.0f}s; expert mean {expert_agg['mean']:.2f}", flush=True)
+
+    report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames, "methods": {}}
+
+    # ---------- 2+3. train each method, evaluate on both splits
+    for method in args.methods:
+        cfg = default_bc_config()
+        cfg["data"].update(batch_size=args.batch_size, task="Mixed_")
+        cfg["gaze"]["method"] = method
+        cfg["training"].update(epochs=args.epochs, save_interval=args.epochs)
+        cfg["logging"]["log_dir"] = str(out / "runs")
+        trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc")
+        t0 = time.time()
+        metrics = trainer.train()
+        train_s = time.time() - t0
+        print(f"[train:{method}] {args.epochs} epochs in {train_s:.0f}s: {metrics}", flush=True)
+
+        policy = make_bc_policy_fn(trainer.models, cfg)
+        roll = make_rollout_fn(lambda p, o, h=None: policy(p, o, h), cfg, steps=args.eval_steps)
+        roll_v = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
+
+        results = {}
+        for split, routes in (("seen", seen), ("unseen", unseen)):
+            pairs = [(r, s) for r in routes for s in args.eval_seeds]
+            sel = np.asarray([idx_of[r] for r, _ in pairs])
+            specs_b = jax.tree.map(lambda a: a[sel], all_specs)
+            keys = jnp.stack([jax.random.PRNGKey(s * 100003 + r) for r, s in pairs])
+            t0 = time.time()
+            states, _ = roll_v(specs_b, trainer.state.params, keys)
+            states = jax.device_get(states)
+            recs = []
+            for i, (r, s) in enumerate(pairs):
+                spec_i = jax.tree.map(lambda a: a[idx_of[r]], all_specs)
+                st_i = jax.tree.map(lambda a: a[i], states)
+                sc = compute_score(spec_i, st_i)
+                rec = route_record(r, s, sc, duration_game=float(st_i.t) * 0.05,
+                                   route_length=float(spec_i.route_len))
+                write_stats_json(out / f"eval_{method}_{split}", rec)
+                recs.append(rec)
+            agg = aggregate_scores(recs)
+            results[split] = agg
+            print(f"[eval:{method}:{split}] mean {agg['mean']:.2f} ± {agg['std']:.2f} "
+                  f"({time.time()-t0:.0f}s, {len(pairs)} rollouts)", flush=True)
+        report["methods"][method] = {
+            "train_seconds": round(train_s, 1),
+            "final_loss": metrics,
+            "seen": results["seen"]["mean"],
+            "unseen": results["unseen"]["mean"],
+            "per_route_seen": results["seen"]["per_route"],
+            "per_route_unseen": results["unseen"]["per_route"],
+        }
+        (out / "report.json").write_text(json.dumps(report, indent=2))
+
+    print("[done]", json.dumps({m: {k: v for k, v in d.items() if k in ("seen", "unseen")}
+                                for m, d in report["methods"].items()}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

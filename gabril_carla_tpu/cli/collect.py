@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1200)
     p.add_argument("--out", default="dataset/bench2drive_tpu")
     p.add_argument("--replay", default=None, help="episode dir: re-execute its actions.npz")
+    p.add_argument("--video", action="store_true",
+                   help="also write episode.gif (AutonomousAgent's moviepy export parity)")
     args = p.parse_args(argv)
 
     specs = load_benchmark_specs(args.routes_xml, [args.route])
@@ -67,6 +69,12 @@ def main(argv=None):
         np.savez_compressed(ep / "observations.npz", observations=obs)
         np.savez_compressed(ep / "actions.npz", actions=np.asarray(actions[:n]))
         np.savez_compressed(ep / "gaze.npz", gaze=np.asarray(gazes[:n]))
+        if args.video:
+            from PIL import Image
+
+            pil = [Image.fromarray(f) for f in obs[:, :, :, 0]]
+            pil[0].save(ep / "episode.gif", save_all=True, append_images=pil[1:],
+                        duration=50, loop=0)
         score = compute_score(spec, state)
         rec = route_record(args.route, seed, score, duration_game=n * 0.05,
                            route_length=float(spec.route_len))
