@@ -159,7 +159,7 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     flow_busy = jnp.any(
         veh.alive & (veh.mode == 1)
         & (closing_cross > -1.0)
-        & (closing_cross < 1.1 * jnp.maximum(veh.speed, 3.0) + 2.0)
+        & (closing_cross < 0.7 * jnp.maximum(veh.speed, 3.0) + 2.0)
     )
     yield_cross = crosses & flow_busy & (s_ego > cross_s - 12.0) & (s_ego < cross_s - 3.0)
 

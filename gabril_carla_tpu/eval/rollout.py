@@ -44,6 +44,15 @@ def make_rollout_fn(
         "GMD",
         "IGMD",
     )
+    heatmapper = None
+    if needs_heat and use_analytic_gaze:
+        from ..ops.heatmap import GazeHeatmapper
+
+        heatmapper = GazeHeatmapper(
+            img_height=180, img_width=320,
+            gaze_sigma=cfg.gaze.get("mask_sigma", 30.0),
+            maxpoints=cfg.gaze.get("max_points", 5),
+        )
 
     def init_carry(spec, key):
         state = env.reset(spec, key)
@@ -59,15 +68,16 @@ def make_rollout_fn(
 
         heat = None
         if needs_heat:
-            if use_analytic_gaze:
-                # Gaussian heat from analytic salient points would need the
-                # heatmapper; cheap proxy: predictor-style mask via gaze
-                # predictor if provided, else zeros.
-                heat = jnp.zeros_like(obs)
             if gaze_predictor_apply is not None:
+                # frozen gaze predictor (bc_agent.py:275-298 parity)
                 pred = gaze_predictor_apply(params["gaze_predictor"], obs)  # [1,H,W,1]
                 heat = jnp.repeat(pred, s, axis=-1)
-            if heat is None:
+            elif heatmapper is not None:
+                # analytic gaze from the scene graph, splatted like training
+                coords = analytic_gaze(spec, state, heatmapper.maxpoints)
+                hm = heatmapper.heatmaps(coords[None])  # [1, H, W]
+                heat = jnp.repeat(hm[..., None], s, axis=-1)
+            else:
                 heat = jnp.zeros_like(obs)
 
         action = policy_fn(params, obs, heat)[0]

@@ -1,0 +1,38 @@
+"""Config system: YAML _base_ inheritance + dotted overrides."""
+
+from pathlib import Path
+
+from gabril_carla_tpu.utils.config import load_config, default_bc_config
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_yaml_base_inheritance():
+    cfg = load_config(REPO / "configs" / "train_bc.yaml")
+    assert cfg.data["batch_size"] == 2048  # child override
+    assert cfg.model["embedding_dim"] == 64  # inherited
+    assert cfg.gaze["method"] == "Reg"
+
+
+def test_confounded_variant_swaps_gaze_key():
+    cfg = load_config(REPO / "configs" / "train_bc_confounded.yaml")
+    assert cfg.data["gaze_key"] == "gaze_coords_filter_dynamic"
+    assert cfg.data["batch_size"] == 256  # from base, not train_bc.yaml
+
+
+def test_dotted_overrides_and_types():
+    cfg = load_config(REPO / "configs" / "train_bc.yaml",
+                      overrides=["gaze.method=AGIL", "optimizer.lr=0.001",
+                                 "scheduler.type=none", "training.donate=false"])
+    assert cfg.gaze["method"] == "AGIL"
+    assert cfg.optimizer["lr"] == 0.001
+    assert cfg.scheduler["type"] == "none"  # stays a string
+    assert cfg.training["donate"] is False
+
+
+def test_default_config_paths():
+    cfg = default_bc_config()
+    assert cfg.get_path("dropout.oreo_prob") == 0.5
+    cfg.set_path("a.b.c", 3)
+    assert cfg.get_path("a.b.c") == 3
+    assert cfg.get_path("missing.key", "fallback") == "fallback"
