@@ -271,9 +271,10 @@ def bc_loss_fn(params, models: BCModels, cfg, batch, key: jax.Array, train: bool
     return total, metrics
 
 
-def make_bc_train_step(models: BCModels, cfg, donate: bool = True):
-    """Jitted (state, batch, rng) -> (state, metrics). Grads psum over 'data'
-    happen implicitly via jit + sharded batch inputs."""
+def make_bc_train_step(models: BCModels, cfg, donate: bool = True, jit: bool = True):
+    """(state, batch, rng) -> (state, metrics). Grads psum over 'data'
+    happen implicitly via jit + sharded batch inputs. ``jit=False`` returns
+    the raw step for embedding in a larger jitted graph (whole-epoch scan)."""
 
     def step(state: TrainState, batch, rng: jax.Array):
         def loss_fn(p):
@@ -283,6 +284,8 @@ def make_bc_train_step(models: BCModels, cfg, donate: bool = True):
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

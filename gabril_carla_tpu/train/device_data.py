@@ -1,0 +1,75 @@
+"""Device-resident dataset + whole-epoch jitted training.
+
+The reference streams batches host->GPU every step through a torch DataLoader
+(SURVEY §3.1 'H2D copy per batch'). Through this machine's TPU tunnel that
+costs ~0.5 s per 128-frame batch — 40x the compute. The TPU-native answer:
+park the entire uint8 dataset in HBM once (55k grayscale frames = 3.2 GB of
+16 GB), precompute the frame-stack window index map, and run a whole epoch as
+one lax.scan whose body gathers batches on-device. One dispatch per epoch,
+zero steady-state host traffic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import EpisodeStore
+
+
+class DeviceData:
+    """Flat episode streams on device + window index maps."""
+
+    def __init__(self, store: EpisodeStore, frame_stack: int, grayscale_store: bool = True):
+        store.finalize()
+        imgs = store.flat_images  # [T, H, W, C] uint8
+        if grayscale_store and imgs.shape[-1] == 3:
+            # store luma only: 3x less HBM; format_obs_stack skips conversion
+            imgs = (0.299 * imgs[..., 0] + 0.587 * imgs[..., 1] + 0.114 * imgs[..., 2]).astype(np.uint8)[..., None]
+        self.images = jax.device_put(imgs)
+        self.gazes = jax.device_put(store.flat_gazes)
+        self.actions = jax.device_put(store.flat_actions)
+
+        # window map: sample i (demo d, step t) -> S global frame rows
+        s = frame_stack
+        wins, acts = [], []
+        for off, ln in zip(store.offsets, store.lengths):
+            t = np.arange(ln)
+            w = np.clip(t[:, None] + np.arange(-(s - 1), 1)[None, :], 0, ln - 1) + off
+            wins.append(w)
+            acts.append(t + off)
+        self.win_idx = jax.device_put(np.concatenate(wins).astype(np.int32))  # [N, S]
+        self.act_idx = jax.device_put(np.concatenate(acts).astype(np.int32))  # [N]
+        self.n_samples = int(self.win_idx.shape[0])
+
+    def gather(self, sample_idx: jnp.ndarray) -> dict:
+        """[B] sample rows -> training batch (on device, inside jit)."""
+        win = self.win_idx[sample_idx]  # [B, S]
+        return {
+            "obs_seq": self.images[win],  # [B, S, H, W, C]
+            "gaze_seq": self.gazes[win],  # [B, S, P*2]
+            "actions": self.actions[self.act_idx[sample_idx]],  # [B, A]
+        }
+
+
+def make_epoch_fn(data: DeviceData, loss_grad_apply, steps_per_epoch: int, batch_size: int):
+    """One jitted epoch: scan over shuffled batch indices.
+
+    loss_grad_apply(state, batch, rng) -> (state, metrics) — the usual step.
+    """
+
+    def epoch(state, perm, rng):
+        idx = perm[: steps_per_epoch * batch_size].reshape(steps_per_epoch, batch_size)
+
+        def body(carry, batch_idx):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            batch = data.gather(batch_idx)
+            state, metrics = loss_grad_apply(state, batch, sub)
+            return (state, rng), metrics
+
+        (state, rng), metrics = jax.lax.scan(body, (state, rng), idx)
+        return state, jax.tree.map(lambda m: jnp.mean(m), metrics)
+
+    return jax.jit(epoch, donate_argnums=(0,))

@@ -63,7 +63,8 @@ def gaze_loss_fn(params, model: AutoEncoder, heatmapper: GazeHeatmapper, cfg, ba
     return loss, {"loss": loss}
 
 
-def make_gaze_train_step(model: AutoEncoder, heatmapper: GazeHeatmapper, cfg, donate: bool = True):
+def make_gaze_train_step(model: AutoEncoder, heatmapper: GazeHeatmapper, cfg,
+                         donate: bool = True, jit: bool = True):
     def step(state: TrainState, batch, rng: jax.Array):
         del rng
         (_, metrics), grads = jax.value_and_grad(
@@ -71,4 +72,6 @@ def make_gaze_train_step(model: AutoEncoder, heatmapper: GazeHeatmapper, cfg, do
         )(state.params)
         return state.apply_gradients(grads=grads), metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..data.dataset import BCDataset
 from ..parallel.mesh import make_mesh, shard_batch
@@ -39,18 +40,40 @@ class Trainer:
         tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, spe)
         rng = jax.random.PRNGKey(cfg.get_path("training.seed", 0))
         donate = bool(cfg.get_path("training.donate", True))
+        # device-resident data: park the whole dataset in HBM and run each
+        # epoch as one jitted scan (no per-step host->device traffic). Auto
+        # on single-process runs when the dataset fits comfortably.
+        dd = cfg.get_path("training.device_data", "auto")
+        if dd == "auto":
+            n_bytes = sum(x.nbytes for x in dataset.store.images)
+            # single-device only for now (sharded device-resident data would
+            # need per-shard sampling); the streamed path covers meshes
+            dd = len(jax.devices()) == 1 and n_bytes < 6e9
+        self.device_mode = bool(dd)
+
+        jit_step = not self.device_mode
         if mode == "bc":
             self.models, self.state = init_bc_state(cfg, rng, tx)
-            self.step_fn = make_bc_train_step(self.models, cfg, donate=donate)
+            self.step_fn = make_bc_train_step(self.models, cfg, donate=donate, jit=jit_step)
             self._maybe_load_vqvae()
         elif mode == "gaze":
             (self.model, self.heatmapper), self.state = init_gaze_state(cfg, rng, tx)
-            self.step_fn = make_gaze_train_step(self.model, self.heatmapper, cfg, donate=donate)
+            self.step_fn = make_gaze_train_step(self.model, self.heatmapper, cfg,
+                                                donate=donate, jit=jit_step)
         elif mode == "vqvae":
             (self.models, self.heatmapper), self.state = init_vqvae_state(cfg, rng, tx)
-            self.step_fn = make_vqvae_train_step(self.models, self.heatmapper, cfg, donate=donate)
+            self.step_fn = make_vqvae_train_step(self.models, self.heatmapper, cfg,
+                                                 donate=donate, jit=jit_step)
         else:
             raise ValueError(f"unknown mode {mode}")
+
+        if self.device_mode:
+            from .device_data import DeviceData, make_epoch_fn
+
+            self.device_data = DeviceData(dataset.store, cfg.data["frame_stack"],
+                                          grayscale_store=cfg.model["grayscale"])
+            self.epoch_fn = make_epoch_fn(self.device_data, self.step_fn,
+                                          self.steps_per_epoch, bs)
         self.timer = StageTimer()
         self.logger = ExperimentLogger(cfg)
         self._rng = np.random.default_rng(cfg.get_path("training.seed", 0))
@@ -64,20 +87,28 @@ class Trainer:
         bs = cfg.data["batch_size"]
         last = {}
         for epoch in range(epochs):
-            totals, count = {}, 0
-            for batch in self.dataset.iter_batches(bs, self._rng):
-                with self.timer.stage("data"):
-                    batch = shard_batch(batch, self.mesh)
-                with self.timer.stage("step"):
+            if self.device_mode:
+                with self.timer.stage("epoch"):
+                    perm = jnp.asarray(self._rng.permutation(self.device_data.n_samples))
                     self._step_key, sub = jax.random.split(self._step_key)
-                    self.state, metrics = self.step_fn(self.state, batch, sub)
-                count += 1
-                for k, v in metrics.items():
-                    totals[k] = totals.get(k, 0.0) + v
-                self._global_step += 1
-            # one host sync per epoch
-            with self.timer.stage("sync"):
-                avg = {k: float(jax.device_get(v)) / count for k, v in totals.items()}
+                    self.state, metrics = self.epoch_fn(self.state, perm, sub)
+                    avg = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                self._global_step += self.steps_per_epoch
+            else:
+                totals, count = {}, 0
+                for batch in self.dataset.iter_batches(bs, self._rng):
+                    with self.timer.stage("data"):
+                        batch = shard_batch(batch, self.mesh)
+                    with self.timer.stage("step"):
+                        self._step_key, sub = jax.random.split(self._step_key)
+                        self.state, metrics = self.step_fn(self.state, batch, sub)
+                    count += 1
+                    for k, v in metrics.items():
+                        totals[k] = totals.get(k, 0.0) + v
+                    self._global_step += 1
+                # one host sync per epoch
+                with self.timer.stage("sync"):
+                    avg = {k: float(jax.device_get(v)) / count for k, v in totals.items()}
             self.logger.log_scalars(self._global_step, {"epoch": epoch + 1, **avg})
             self.logger.print(
                 f"epoch {epoch + 1}/{epochs}: " + ", ".join(f"{k}={v:.5f}" for k, v in avg.items())

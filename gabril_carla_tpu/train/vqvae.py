@@ -45,7 +45,7 @@ def init_vqvae_state(cfg, rng: jax.Array, tx):
     return ((enc, dec, vq), heatmapper), TrainState.create(apply_fn=None, params=params, tx=tx)
 
 
-def make_vqvae_train_step(models, heatmapper, cfg, donate: bool = True):
+def make_vqvae_train_step(models, heatmapper, cfg, donate: bool = True, jit: bool = True):
     enc, dec, vq = models
 
     def loss_fn(params, batch):
@@ -68,4 +68,6 @@ def make_vqvae_train_step(models, heatmapper, cfg, donate: bool = True):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         return state.apply_gradients(grads=grads), metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
