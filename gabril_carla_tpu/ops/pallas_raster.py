@@ -96,7 +96,7 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
         jnp.zeros((BLOCK_ROWS, LANES), jnp.float32),
         jnp.zeros((BLOCK_ROWS, LANES), jnp.float32),
     )
-    _, signed, s_off = jax.lax.fori_loop(0, view, rbody, init, unroll=8)
+    _, signed, s_off = jax.lax.fori_loop(0, view, rbody, init)
     near_s = start_s + s_off
 
     # ---- terrain shading (raster.py contract)
@@ -128,7 +128,7 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
         return jnp.where(inside, d, best_d), jnp.where(inside, c, best_c)
 
     binit = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32), jnp.zeros((BLOCK_ROWS, LANES), jnp.float32))
-    best_d, best_c = jax.lax.fori_loop(0, n_actors, abody, binit, unroll=8)
+    best_d, best_c = jax.lax.fori_loop(0, n_actors, abody, binit, unroll=True)
     hit = best_d < 1e29
     shade = 1.0 - jnp.clip(best_d / MAX_DEPTH, 0.0, 0.6)
     img = jnp.where(hit, best_c * shade, img)
