@@ -17,7 +17,9 @@ EGO_MAX_SPEED = 25.0  # m/s cap
 # Fixed-capacity actor pools (vmap-friendly alive-mask pools, SURVEY §7)
 N_VEHICLES = 16  # scenario NPC vehicles/bicycles (flows, blockers, cut-ins)
 N_WALKERS = 8
-N_STATICS = 8  # props: accident cars, containers, opened doors
+N_STATICS = 24  # props: accident cars, containers, doors (slots 0-7) +
+# parked vehicles from the per-town tables (slots 8+, world.py)
+N_SCENARIO_STATICS = 8
 
 # Route buffers
 MAX_ROUTE_POINTS = 512  # 1 m spacing, routes are <= ~300 m

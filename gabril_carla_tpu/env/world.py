@@ -21,6 +21,7 @@ blocked_intersection.py:63-67, cross_bicycle_flow.py:83-85.
 from __future__ import annotations
 
 import math
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import field
 
@@ -134,6 +135,47 @@ def _pad(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, reps], axis=0)
 
 
+_PARKED_LINE = re.compile(r"'location':\(([-0-9.e+]+), ([-0-9.e+]+),[^)]*\), 'rotation':\([^,]+, ([-0-9.e+]+),")
+_PARKED_TOWN = re.compile(r"^(\w+) = \[")
+
+
+def load_parked_tables(path: str) -> dict[str, np.ndarray]:
+    """Parse the reference's parked-vehicle tables (leaderboard
+    utils/parked_vehicles.py: per-town lists of {'location', 'rotation',
+    'mesh'} slots) into {town: [K, 3] (x, y, yaw_rad)} arrays. Data, not code:
+    read at runtime from the reference checkout when available."""
+    towns: dict[str, list] = {}
+    cur = None
+    with open(path) as f:
+        for line in f:
+            m = _PARKED_TOWN.match(line)
+            if m:
+                cur = towns.setdefault(m.group(1), [])
+                continue
+            m = _PARKED_LINE.search(line)
+            if m and cur is not None:
+                x, y, yaw = float(m.group(1)), float(m.group(2)), float(m.group(3))
+                cur.append((x, y, math.radians(yaw)))
+    return {t: np.asarray(v, np.float32) for t, v in towns.items() if v}
+
+
+def select_parked_near_route(parked: np.ndarray, xy: np.ndarray, dirs: np.ndarray,
+                             max_slots: int, lane_width: float = C.LANE_WIDTH) -> np.ndarray:
+    """Parked slots within sight of the route but outside the driving lanes
+    (RouteScenario's parking-slot filtering, route_scenario.py:163-203)."""
+    if parked is None or not len(parked):
+        return np.zeros((0, 3), np.float32)
+    d = np.linalg.norm(parked[:, None, :2] - xy[None, :, :], axis=-1)  # [K, M]
+    j = d.argmin(axis=1)
+    dist = d[np.arange(len(parked)), j]
+    rel = parked[:, :2] - xy[j]
+    lat = -(dirs[j, 0] * rel[:, 1] - dirs[j, 1] * rel[:, 0])
+    keep = (dist < 16.0) & ((lat < -0.7 * lane_width) | (lat > 1.8 * lane_width))
+    sel = parked[keep]
+    order = np.argsort(dist[keep])
+    return sel[order[:max_slots]]
+
+
 def parse_routes_xml(path: str, route_ids: list[int] | None = None) -> dict[int, dict]:
     """Parse bench2drive220.xml -> {route_id: raw dict}."""
     root = ET.parse(path).getroot()
@@ -188,8 +230,12 @@ def _point_at(route_xy, route_dir, s: float):
     return route_xy[i], route_dir[i]
 
 
-def build_world_spec(route: dict) -> WorldSpec:
-    """Compile one parsed route into a WorldSpec."""
+def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec:
+    """Compile one parsed route into a WorldSpec.
+
+    ``parked``: optional [K, 3] (x, y, yaw) town parked-vehicle slots
+    (load_parked_tables); nearby off-lane slots fill statics pool slots 8+.
+    """
     xy = resample_polyline(route["waypoints"], 1.0)
     dirs = _tangents(xy)
     n = len(xy)
@@ -348,6 +394,10 @@ def build_world_spec(route: dict) -> WorldSpec:
         scen_aux[0] = s0
         scen_aux[1] = bdist
 
+    sel = select_parked_near_route(parked, xy, dirs, C.N_STATICS - C.N_SCENARIO_STATICS)
+    for k, (px, py, pyaw) in enumerate(sel):
+        add_static(C.N_SCENARIO_STATICS + k, (px, py), pyaw, CAR_EXTENT)
+
     return WorldSpec(
         route_xy=_pad(xy, m),
         route_dir=_pad(dirs, m),
@@ -393,6 +443,18 @@ def stack_specs(specs: list[WorldSpec]) -> WorldSpec:
     return jax.tree.map(lambda *xs: np.stack(xs), *specs)
 
 
-def load_benchmark_specs(xml_path: str, route_ids: list[int]) -> WorldSpec:
+def load_benchmark_specs(xml_path: str, route_ids: list[int],
+                         parked_tables_path: str | None = "auto") -> WorldSpec:
     routes = parse_routes_xml(xml_path, route_ids)
-    return stack_specs([build_world_spec(routes[r]) for r in route_ids])
+    tables: dict[str, np.ndarray] = {}
+    if parked_tables_path == "auto":
+        import os
+
+        cand = os.path.join(os.path.dirname(xml_path), "..", "leaderboard", "utils",
+                            "parked_vehicles.py")
+        parked_tables_path = cand if os.path.exists(cand) else None
+    if parked_tables_path:
+        tables = load_parked_tables(parked_tables_path)
+    return stack_specs(
+        [build_world_spec(routes[r], parked=tables.get(routes[r]["town"])) for r in route_ids]
+    )

@@ -11,6 +11,8 @@ zero steady-state host traffic.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,33 +45,50 @@ class DeviceData:
         self.act_idx = jax.device_put(np.concatenate(acts).astype(np.int32))  # [N]
         self.n_samples = int(self.win_idx.shape[0])
 
+    def arrays(self) -> dict:
+        return {"images": self.images, "gazes": self.gazes, "actions": self.actions,
+                "win_idx": self.win_idx, "act_idx": self.act_idx}
+
     def gather(self, sample_idx: jnp.ndarray) -> dict:
         """[B] sample rows -> training batch (on device, inside jit)."""
-        win = self.win_idx[sample_idx]  # [B, S]
-        return {
-            "obs_seq": self.images[win],  # [B, S, H, W, C]
-            "gaze_seq": self.gazes[win],  # [B, S, P*2]
-            "actions": self.actions[self.act_idx[sample_idx]],  # [B, A]
-        }
+        return gather_from(self.arrays(), sample_idx)
+
+
+def gather_from(arrays: dict, sample_idx: jnp.ndarray) -> dict:
+    win = arrays["win_idx"][sample_idx]  # [B, S]
+    return {
+        "obs_seq": arrays["images"][win],  # [B, S, H, W, C]
+        "gaze_seq": arrays["gazes"][win],  # [B, S, P*2]
+        "actions": arrays["actions"][arrays["act_idx"][sample_idx]],  # [B, A]
+    }
 
 
 def make_epoch_fn(data: DeviceData, loss_grad_apply, steps_per_epoch: int, batch_size: int):
     """One jitted epoch: scan over shuffled batch indices.
 
     loss_grad_apply(state, batch, rng) -> (state, metrics) — the usual step.
+    The dataset arrays are passed as jit ARGUMENTS (already device-resident),
+    not closed over — closing over them bakes GBs of constants into the
+    executable.
     """
 
-    def epoch(state, perm, rng):
+    arrays = data.arrays()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_impl(state, arrays, perm, rng):
         idx = perm[: steps_per_epoch * batch_size].reshape(steps_per_epoch, batch_size)
 
         def body(carry, batch_idx):
             state, rng = carry
             rng, sub = jax.random.split(rng)
-            batch = data.gather(batch_idx)
+            batch = gather_from(arrays, batch_idx)
             state, metrics = loss_grad_apply(state, batch, sub)
             return (state, rng), metrics
 
         (state, rng), metrics = jax.lax.scan(body, (state, rng), idx)
         return state, jax.tree.map(lambda m: jnp.mean(m), metrics)
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    def epoch(state, perm, rng):
+        return epoch_impl(state, arrays, perm, rng)
+
+    return epoch
