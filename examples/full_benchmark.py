@@ -46,8 +46,10 @@ def main():
     p.add_argument("--eval_steps", type=int, default=1600)
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--batch_size", type=int, default=128)
-    p.add_argument("--methods", nargs="*", default=["None", "Reg"])
+    p.add_argument("--methods", nargs="*", default=["None", "Reg"],
+                   help="gaze methods; append :dropout and @lambda, e.g. Reg@1.0 None:GMD")
     p.add_argument("--out", default="results")
+    p.add_argument("--store_cache", default=None, help="npz path to save/load collected episodes")
     args = p.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -76,7 +78,17 @@ def main():
     t0 = time.time()
     store = EpisodeStore()
     expert_records = []
-    for r in seen:
+    cache = Path(args.store_cache) if args.store_cache else None
+    if cache is not None and cache.exists():
+        z = np.load(cache, allow_pickle=True)
+        bounds = np.cumsum(z["lengths"])[:-1]
+        for img, gz, ac in zip(np.split(z["images"], bounds), np.split(z["gazes"], bounds),
+                               np.split(z["actions"], bounds)):
+            store.add(img, gz, ac)
+        expert_records = list(z["records"]) if "records" in z else []
+        print(f"[collect] loaded {len(store.images)} episodes from {cache}", flush=True)
+    collect_routes = [] if store.n_demos else seen
+    for r in collect_routes:
         spec = jax.tree.map(lambda a: a[idx_of[r]], all_specs)
         for s in args.train_seeds:
             state, frames, actions, gazes = collect(spec, jax.random.PRNGKey(s * 1000 + r))
@@ -89,17 +101,33 @@ def main():
         print(f"[collect] route {r}: {len(args.train_seeds)} seeds, "
               f"expert score {np.mean([d['scores']['score_composed'] for d in done]):.1f}", flush=True)
     n_frames = int(sum(len(x) for x in store.images))
-    expert_agg = aggregate_scores(expert_records)
-    print(f"[collect] {n_frames} frames over {len(expert_records)} episodes in "
+    expert_agg = aggregate_scores(expert_records) if expert_records else {"mean": -1.0}
+    print(f"[collect] {n_frames} frames over {store.n_demos} episodes in "
           f"{time.time()-t0:.0f}s; expert mean {expert_agg['mean']:.2f}", flush=True)
+    if cache is not None and not cache.exists():
+        store.finalize()
+        np.savez_compressed(cache, images=store.flat_images, gazes=store.flat_gazes,
+                            actions=store.flat_actions, lengths=store.lengths,
+                            records=np.asarray(expert_records, dtype=object))
+        print(f"[collect] cached to {cache}", flush=True)
 
     report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames, "methods": {}}
 
     # ---------- 2+3. train each method, evaluate on both splits
-    for method in args.methods:
+    for method_spec in args.methods:
+        method, lam, dropout = method_spec, None, "None"
+        if "@" in method:
+            method, lam = method.split("@")
+            lam = float(lam)
+        if ":" in method:
+            method, dropout = method.split(":")
         cfg = default_bc_config()
         cfg["data"].update(batch_size=args.batch_size, task="Mixed_")
         cfg["gaze"]["method"] = method
+        cfg["dropout"]["method"] = dropout
+        if lam is not None:
+            cfg["gaze"]["lambda_weight"] = lam
+        tag = method_spec.replace(":", "-").replace("@", "-l")
         cfg["training"].update(epochs=args.epochs, save_interval=args.epochs)
         cfg["logging"]["log_dir"] = str(out / "runs")
         trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc")
@@ -109,7 +137,10 @@ def main():
         print(f"[train:{method}] {args.epochs} epochs in {train_s:.0f}s: {metrics}", flush=True)
 
         policy = make_bc_policy_fn(trainer.models, cfg)
-        roll = make_rollout_fn(lambda p, o, h=None: policy(p, o, h), cfg, steps=args.eval_steps)
+        # heat at eval comes from the analytic scene-graph gaze (the same
+        # source training used), mirroring BCAgent's frozen gaze predictor
+        roll = make_rollout_fn(lambda p, o, h=None: policy(p, o, h), cfg,
+                               steps=args.eval_steps, use_analytic_gaze=True)
         roll_v = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
 
         results = {}
@@ -128,13 +159,13 @@ def main():
                 sc = compute_score(spec_i, st_i)
                 rec = route_record(r, s, sc, duration_game=float(st_i.t) * 0.05,
                                    route_length=float(spec_i.route_len))
-                write_stats_json(out / f"eval_{method}_{split}", rec)
+                write_stats_json(out / f"eval_{tag}_{split}", rec)
                 recs.append(rec)
             agg = aggregate_scores(recs)
             results[split] = agg
             print(f"[eval:{method}:{split}] mean {agg['mean']:.2f} ± {agg['std']:.2f} "
                   f"({time.time()-t0:.0f}s, {len(pairs)} rollouts)", flush=True)
-        report["methods"][method] = {
+        report["methods"][method_spec] = {
             "train_seconds": round(train_s, 1),
             "final_loss": metrics,
             "seen": results["seen"]["mean"],
