@@ -113,6 +113,30 @@ def main():
 
     report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames, "methods": {}}
 
+    # ---------- 1b. frozen gaze predictor for heat-needing methods
+    # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
+    needs_gp = any(
+        m.split("@")[0].split(":")[0] in ("Mask", "ViSaRL", "AGIL")
+        or (":" in m and m.split("@")[0].split(":")[1] in ("GMD", "IGMD"))
+        for m in args.methods
+    )
+    gp_apply, gp_params = None, None
+    if needs_gp:
+        from gabril_carla_tpu.utils.config import default_gaze_config
+
+        gcfg = default_gaze_config()
+        gcfg["data"].update(batch_size=args.batch_size, task="GazePred")
+        gcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=999)
+        gcfg["scheduler"]["type"] = "none"
+        gcfg["logging"]["log_dir"] = str(out / "runs")
+        t0 = time.time()
+        gtr = Trainer(gcfg, BCDataset(store, frame_stack=gcfg.data["frame_stack"]), mode="gaze")
+        gm = gtr.train()
+        gp_params = jax.device_get(gtr.state.params)
+        gp_model = gtr.model
+        gp_apply = lambda p, obs: gp_model.apply({"params": p}, obs)
+        print(f"[train:gaze_predictor] {time.time()-t0:.0f}s: {gm}", flush=True)
+
     # ---------- 2+3. train each method, evaluate on both splits
     for method_spec in args.methods:
         method, lam, dropout = method_spec, None, "None"
@@ -137,10 +161,14 @@ def main():
         print(f"[train:{method}] {args.epochs} epochs in {train_s:.0f}s: {metrics}", flush=True)
 
         policy = make_bc_policy_fn(trainer.models, cfg)
-        # heat at eval comes from the analytic scene-graph gaze (the same
-        # source training used), mirroring BCAgent's frozen gaze predictor
+        # heat at eval: frozen gaze predictor when trained (reference
+        # protocol), else the analytic scene-graph gaze
         roll = make_rollout_fn(lambda p, o, h=None: policy(p, o, h), cfg,
-                               steps=args.eval_steps, use_analytic_gaze=True)
+                               steps=args.eval_steps, use_analytic_gaze=True,
+                               gaze_predictor_apply=gp_apply)
+        eval_params = dict(trainer.state.params)
+        if gp_params is not None:
+            eval_params["gaze_predictor"] = gp_params
         roll_v = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
 
         results = {}
@@ -150,7 +178,7 @@ def main():
             specs_b = jax.tree.map(lambda a: a[sel], all_specs)
             keys = jnp.stack([jax.random.PRNGKey(s * 100003 + r) for r, s in pairs])
             t0 = time.time()
-            states, _ = roll_v(specs_b, trainer.state.params, keys)
+            states, _ = roll_v(specs_b, eval_params, keys)
             states = jax.device_get(states)
             recs = []
             for i, (r, s) in enumerate(pairs):

@@ -242,14 +242,28 @@ def _render_frame_xla(spec, state, cam, fwd, right) -> jnp.ndarray:
 
 
 def analytic_gaze(spec, state, max_points: int = 5) -> jnp.ndarray:
-    """Salient-actor gaze coords in [0,1]^2 (-1 invalid), from the scene graph.
+    """Gaze coords in [0,1]^2 (-1 invalid) from the scene graph.
 
     Replaces the VLM pseudo-gaze path (saliency_pipeline: GroundingDINO +
-    Qwen filtering -> bbox centers) for closed-loop use: the nearest visible
-    dynamic actors ARE the salient objects.
+    Qwen filtering -> bbox centers) for closed-loop use. Point 0 fixates the
+    road ~15 m ahead along the route (drivers track the road constantly, and
+    it keeps heatmaps non-degenerate on empty streets); remaining slots take
+    the nearest visible actors.
     """
+    from ..env.dynamics import polyline_point
+
     ego = state.ego
     cam, fwd, right = _camera_basis(ego.pos, ego.yaw)
+
+    # road fixation: route point ~15 m ahead, at eye height on the ground
+    ahead, _ = polyline_point(spec.route_xy, spec.route_dir,
+                              ego.route_idx.astype(jnp.float32) + 15.0, spec.n_route)
+    ur, vr, dr = _project(cam, fwd, right, ahead[None], 0.0)
+    road_ok = (dr[0] > 1.0) & (ur[0] >= 0) & (ur[0] < W) & (vr[0] >= 0) & (vr[0] < H)
+    road_pt = jnp.where(road_ok,
+                        jnp.stack([ur[0] / (W - 1), vr[0] / (H - 1)]),
+                        jnp.full(2, -1.0))
+
     pos = jnp.concatenate([state.vehicles.pos, state.walkers.pos, state.statics.pos])
     alive = jnp.concatenate([state.vehicles.alive, state.walkers.alive, state.statics.alive])
     z = jnp.concatenate([
@@ -260,11 +274,12 @@ def analytic_gaze(spec, state, max_points: int = 5) -> jnp.ndarray:
     u, v, depth = _project(cam, fwd, right, pos, z)
     visible = alive & (depth > 1.0) & (depth < 80.0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
     score = jnp.where(visible, depth, jnp.inf)
-    order = jnp.argsort(score)[:max_points]
+    order = jnp.argsort(score)[: max_points - 1]
     sel_valid = jnp.isfinite(score[order])
     gx = jnp.where(sel_valid, u[order] / (W - 1), -1.0)
     gy = jnp.where(sel_valid, v[order] / (H - 1), -1.0)
-    return jnp.stack([gx, gy], axis=-1).reshape(max_points * 2)
+    actors = jnp.stack([gx, gy], axis=-1)
+    return jnp.concatenate([road_pt[None], actors]).reshape(max_points * 2)
 
 
 def confounded_overlay(img: jnp.ndarray, action7: jnp.ndarray) -> jnp.ndarray:
