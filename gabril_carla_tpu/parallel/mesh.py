@@ -23,6 +23,17 @@ def make_mesh(devices=None, data: int | None = None, model: int = 1) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def make_multislice_mesh(model: int = 1) -> Mesh:
+    """Multi-slice mesh: 'data' spans slices (DCN), 'model' stays inside a
+    slice (ICI) — gradient psums ride DCN once per step while any model
+    collectives stay on ICI. Call jax.distributed.initialize() first on
+    multi-host deployments; device order from jax.devices() already groups
+    by slice, so a row-major reshape lands 'model' within-slice.
+    """
+    devices = jax.devices()
+    return make_mesh(devices, data=len(devices) // model, model=model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dimension sharding over the 'data' axis."""
     return NamedSharding(mesh, P("data"))

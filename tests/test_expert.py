@@ -1,0 +1,64 @@
+"""Scripted expert behavior contracts on synthetic worlds."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gabril_carla_tpu.env import DrivingEnv
+from gabril_carla_tpu.env.criteria import compute_score, completion_pct
+from gabril_carla_tpu.env.expert import expert_action
+from gabril_carla_tpu.env.world import build_world_spec
+
+
+def run(spec, steps=1200, key=0):
+    env = DrivingEnv()
+
+    def tick(s, _):
+        return env.step(spec, s, expert_action(spec, s)), None
+
+    st, _ = jax.jit(
+        lambda k: jax.lax.scan(tick, env.reset(spec, k), None, length=steps)
+    )(jax.random.PRNGKey(key))
+    return st
+
+
+def world(scenario="None", length=160, extra=None, trigger=(40.0, 0.0, 0.0)):
+    wps = np.stack([np.arange(0.0, length, 2.0), np.zeros(length // 2)], 1).astype(np.float32)
+    scen = {"type": scenario, "trigger": trigger}
+    if extra:
+        scen.update(extra)
+    return jax.tree.map(jnp.asarray, build_world_spec(
+        {"id": 1, "town": "T", "waypoints": wps, "scenarios": [scen], "weather": [0, 0, 0, 90]}))
+
+
+def test_expert_completes_clean_route():
+    spec = world()
+    st = run(spec, steps=800)
+    sc = compute_score(spec, st)
+    assert float(sc["score_composed"]) == 100.0
+
+
+def test_expert_stops_at_stop_sign():
+    spec = world("VanillaNonSignalizedTurnEncounterStopsign")
+    st = run(spec, steps=900)
+    sc = compute_score(spec, st)
+    assert int(sc["stop_infraction"]) == 0
+    assert float(sc["score_route"]) == 100.0
+    assert bool(st.criteria.stop_done)
+
+
+def test_expert_overtakes_accident():
+    spec = world("AccidentTwoWays", length=240,
+                 extra={"distance": 50.0, "frequency": (60.0, 90.0)})
+    st = run(spec, steps=1500)
+    sc = compute_score(spec, st)
+    assert float(sc["score_route"]) == 100.0
+    assert int(sc["collisions_static"]) == 0
+
+
+def test_expert_yields_to_pedestrians():
+    spec = world("PedestrianCrossing", length=160)
+    st = run(spec, steps=1200)
+    sc = compute_score(spec, st)
+    assert int(sc["collisions_pedestrian"]) == 0
+    assert float(sc["score_route"]) == 100.0
