@@ -64,7 +64,7 @@ def _obb_overlap(pos_a, yaw_a, ext_a, pos_b, yaw_b, ext_b):
     return jnp.all(dist <= ra + rb, axis=-1)
 
 
-def criteria_step(spec, state: SceneState, action_brake) -> SceneState:
+def criteria_step(spec, state: SceneState) -> SceneState:
     crit = state.criteria
     ego = state.ego
     new_idx, lat = localize_ego(spec, ego.pos, ego.route_idx)

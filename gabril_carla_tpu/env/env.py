@@ -119,7 +119,7 @@ class DrivingEnv:
             walkers=walkers_step(state.walkers),
             ego=ego_step(state.ego, throttle, steer, brake),
         )
-        state = criteria_step(spec, state, brake)
+        state = criteria_step(spec, state)
 
         pct = completion_pct(spec, state)
         timeout_s = jnp.maximum(C.MIN_ROUTE_TIMEOUT, spec.route_len / C.TIMEOUT_SPEED)

@@ -16,12 +16,14 @@ import numpy as np
 
 ROUND = 3
 
+# score-dict key -> stats.json infraction key (PENALTY_NAME_DICT,
+# statistics_manager.py:39-...: static collisions are 'collisions_layout')
 _INFRACTION_KEYS = [
-    ("collisions_pedestrian", "Agent collided against a pedestrian"),
-    ("collisions_vehicle", "Agent collided against a vehicle"),
-    ("collisions_static", "Agent collided against a static object"),
-    ("red_light", "Agent ran a red light"),
-    ("stop_infraction", "Agent ran a stop sign"),
+    ("collisions_pedestrian", "collisions_pedestrian", "Agent collided against a pedestrian"),
+    ("collisions_vehicle", "collisions_vehicle", "Agent collided against a vehicle"),
+    ("collisions_static", "collisions_layout", "Agent collided against a static object"),
+    ("red_light", "red_light", "Agent ran a red light"),
+    ("stop_infraction", "stop_infraction", "Agent ran a stop sign"),
 ]
 
 
@@ -30,9 +32,9 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
     """One stats.json record from a compute_score() dict."""
     s = {k: float(np.asarray(v)) for k, v in score.items()}
     infractions = {}
-    for key, msg in _INFRACTION_KEYS:
-        n = int(s.get(key, 0))
-        infractions[key] = [msg] * n
+    for score_key, json_key, msg in _INFRACTION_KEYS:
+        n = int(s.get(score_key, 0))
+        infractions[json_key] = [msg] * n
     infractions["outside_route_lanes"] = (
         [f"Agent went outside its route lanes for {s['outside_route_lanes_pct']:.2f}% of the route"]
         if s.get("outside_route_lanes_pct", 0) > 0.5
@@ -42,6 +44,8 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
     infractions["route_dev"] = ["Agent deviated from the route"] if s.get("deviated") else []
     infractions["vehicle_blocked"] = ["Agent got blocked"] if s.get("blocked") else []
     infractions["scenario_timeouts"] = ["Scenario timed out"] if s.get("scenario_timeout") else []
+    infractions["yield_emergency_vehicle"] = []
+    infractions["min_speed_infractions"] = []
 
     completed = s["score_route"] >= 100.0
     num_inf = sum(len(v) for v in infractions.values())
