@@ -26,7 +26,11 @@ from .world import N_FLOWS
 
 
 def decode_action(action7: jnp.ndarray):
-    """7-vector -> (throttle, steer, brake) with the reference's clamps."""
+    """7-vector -> (throttle, steer, brake) with the reference's clamps.
+
+    NaN-guarded: a diverged policy must not poison the sim state (the
+    reference's np.clip would propagate NaN into carla's VehicleControl)."""
+    action7 = jnp.nan_to_num(action7, nan=0.0, posinf=1.0, neginf=-1.0)
     throttle = jnp.clip(action7[..., 0], 0.0, 1.0)
     steer = jnp.clip(action7[..., 1], -1.0, 1.0)
     brake = (action7[..., 2] > 0.8).astype(jnp.float32)

@@ -55,7 +55,7 @@ def _ground_points(cam, fwd, right):
     return ground, z * jnp.ones_like(u), below_horizon & (z < MAX_DEPTH)
 
 
-ROUTE_VIEW = 160  # route points visible from the camera (1 m spacing)
+ROUTE_VIEW = 128  # route points visible (1 m spacing; camera depth caps at 120 m)
 ROUTE_BEHIND = 16
 
 
