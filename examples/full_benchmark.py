@@ -50,6 +50,9 @@ def main():
                    help="gaze methods; append :dropout and @lambda, e.g. Reg@1.0 None:GMD")
     p.add_argument("--out", default="results")
     p.add_argument("--store_cache", default=None, help="npz path to save/load collected episodes")
+    p.add_argument("--confounded", action="store_true",
+                   help="bake expert-action overlays into training frames and evaluate with the "
+                        "two-pass confounded protocol (build_confunded_obs.py + bc_agent.py:321-352)")
     args = p.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -111,7 +114,22 @@ def main():
                             records=np.asarray(expert_records, dtype=object))
         print(f"[collect] cached to {cache}", flush=True)
 
-    report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames, "methods": {}}
+    # ---------- 1a. confounded variant: overlay recorded actions onto frames
+    if args.confounded:
+        from gabril_carla_tpu.ops.raster import confounded_overlay
+
+        ov = jax.jit(jax.vmap(lambda f, a: confounded_overlay(f, a)))
+        store.finalize()
+        t0 = time.time()
+        for i in range(0, len(store.flat_images), 4096):
+            sl = slice(i, i + 4096)
+            frames = jnp.asarray(store.flat_images[sl, ..., 0]).astype(jnp.float32) / 255.0
+            out_f = ov(frames, jnp.asarray(store.flat_actions[sl]))
+            store.flat_images[sl, ..., 0] = np.asarray(out_f * 255.0).astype(np.uint8)
+        print(f"[confound] overlaid {len(store.flat_images)} frames in {time.time()-t0:.0f}s", flush=True)
+
+    report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
+              "confounded": args.confounded, "methods": {}}
 
     # ---------- 1b. frozen gaze predictor for heat-needing methods
     # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
@@ -137,6 +155,21 @@ def main():
         gp_apply = lambda p, obs: gp_model.apply({"params": p}, obs)
         print(f"[train:gaze_predictor] {time.time()-t0:.0f}s: {gm}", flush=True)
 
+    # ---------- 1c. VQ-VAE pretraining when any method uses Oreo dropout
+    vqvae_path = ""
+    if any(":" in m and m.split("@")[0].split(":")[1] == "Oreo" for m in args.methods):
+        vcfg = default_bc_config()
+        vcfg["data"].update(batch_size=args.batch_size, task="VQVAE")
+        vcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=10**6)
+        vcfg["scheduler"]["type"] = "none"
+        vcfg["logging"]["log_dir"] = str(out / "runs")
+        t0 = time.time()
+        vtr = Trainer(vcfg, BCDataset(store, frame_stack=vcfg.data["frame_stack"]), mode="vqvae")
+        vm = vtr.train()
+        vtr.save(epoch=0)
+        vqvae_path = str(vtr.logger.ckpt_dir / "ep0")
+        print(f"[train:vqvae] {time.time()-t0:.0f}s: {vm}", flush=True)
+
     # ---------- 2+3. train each method, evaluate on both splits
     for method_spec in args.methods:
         method, lam, dropout = method_spec, None, "None"
@@ -149,6 +182,8 @@ def main():
         cfg["data"].update(batch_size=args.batch_size, task="Mixed_")
         cfg["gaze"]["method"] = method
         cfg["dropout"]["method"] = dropout
+        if dropout == "Oreo":
+            cfg["dropout"]["vqvae_path"] = vqvae_path
         if lam is not None:
             cfg["gaze"]["lambda_weight"] = lam
         tag = method_spec.replace(":", "-").replace("@", "-l")
@@ -165,7 +200,7 @@ def main():
         # protocol), else the analytic scene-graph gaze
         roll = make_rollout_fn(lambda p, o, h=None: policy(p, o, h), cfg,
                                steps=args.eval_steps, use_analytic_gaze=True,
-                               gaze_predictor_apply=gp_apply)
+                               gaze_predictor_apply=gp_apply, confounded=args.confounded)
         eval_params = dict(trainer.state.params)
         if gp_params is not None:
             eval_params["gaze_predictor"] = gp_params
