@@ -116,17 +116,27 @@ def main():
 
     # ---------- 1a. confounded variant: overlay recorded actions onto frames
     if args.confounded:
-        from gabril_carla_tpu.ops.raster import confounded_overlay
-
-        ov = jax.jit(jax.vmap(lambda f, a: confounded_overlay(f, a)))
+        # numpy overlay (confounded_overlay math: brake dot + steering bar),
+        # host-side to avoid shuttling the 3 GB frame buffer over the device link
         store.finalize()
         t0 = time.time()
-        for i in range(0, len(store.flat_images), 4096):
-            sl = slice(i, i + 4096)
-            frames = jnp.asarray(store.flat_images[sl, ..., 0]).astype(jnp.float32) / 255.0
-            out_f = ov(frames, jnp.asarray(store.flat_actions[sl]))
-            store.flat_images[sl, ..., 0] = np.asarray(out_f * 255.0).astype(np.uint8)
-        print(f"[confound] overlaid {len(store.flat_images)} frames in {time.time()-t0:.0f}s", flush=True)
+        imgs = store.flat_images  # [T, H, W, 1] uint8
+        acts = store.flat_actions
+        hh, ww = imgs.shape[1], imgs.shape[2]
+        vv = np.arange(hh, dtype=np.float32)[:, None]
+        uu = np.arange(ww, dtype=np.float32)[None, :]
+        dot = ((uu - 0.92 * ww) ** 2 + (vv - 0.85 * hh) ** 2) < (0.03 * ww) ** 2
+        bar_y = np.abs(vv - 0.92 * hh) < 0.015 * hh
+        brake = acts[:, 2] > 0.8
+        steer = np.clip(acts[:, 1], -1.0, 1.0)
+        cxp = 0.5 * ww + steer * 0.2 * ww
+        for i in range(len(imgs)):
+            if brake[i]:
+                imgs[i, :, :, 0][dot] = 255
+            lo, hi = sorted((float(cxp[i]), 0.5 * ww))
+            bar = bar_y & (uu > lo) & (uu < hi)
+            imgs[i, :, :, 0][bar] = 242
+        print(f"[confound] overlaid {len(imgs)} frames in {time.time()-t0:.0f}s", flush=True)
 
     report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
               "confounded": args.confounded, "methods": {}}
