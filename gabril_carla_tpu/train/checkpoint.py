@@ -18,7 +18,7 @@ import orbax.checkpoint as ocp
 def save_params(ckpt_dir: str | Path, epoch: int, params) -> Path:
     path = Path(ckpt_dir).absolute() / f"ep{epoch}"
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(params))
+        ckptr.save(path, jax.device_get(params), force=True)
     return path
 
 def restore_params(path: str | Path, template=None):
