@@ -51,6 +51,7 @@ class Trainer:
             dd = len(jax.devices()) == 1 and n_bytes < 6e9
         self.device_mode = bool(dd)
 
+        self.logger = ExperimentLogger(cfg)
         jit_step = not self.device_mode
         if mode == "bc":
             self.models, self.state = init_bc_state(cfg, rng, tx)
@@ -75,7 +76,6 @@ class Trainer:
             self.epoch_fn = make_epoch_fn(self.device_data, self.step_fn,
                                           self.steps_per_epoch, bs)
         self.timer = StageTimer()
-        self.logger = ExperimentLogger(cfg)
         self._rng = np.random.default_rng(cfg.get_path("training.seed", 0))
         self._step_key = jax.random.PRNGKey(cfg.get_path("training.seed", 0) + 1)
         self._global_step = 0
