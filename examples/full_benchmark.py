@@ -182,7 +182,15 @@ def main():
 
     # ---------- 2+3. train each method, evaluate on both splits
     for method_spec in args.methods:
-        method, lam, dropout = method_spec, None, "None"
+        # spec grammar: Method[:Dropout][@lambda][%gaze_ratio][!notemporal]
+        # e.g. Reg@1.0, None:GMD, Reg%0.5 (table-3 ratio), Reg!notemporal (table 4)
+        method, lam, dropout, ratio, temporal = method_spec, None, "None", None, True
+        if "!notemporal" in method:
+            method = method.replace("!notemporal", "")
+            temporal = False
+        if "%" in method:
+            method, ratio = method.split("%")
+            ratio = float(ratio)
         if "@" in method:
             method, lam = method.split("@")
             lam = float(lam)
@@ -196,7 +204,11 @@ def main():
             cfg["dropout"]["vqvae_path"] = vqvae_path
         if lam is not None:
             cfg["gaze"]["lambda_weight"] = lam
-        tag = method_spec.replace(":", "-").replace("@", "-l")
+        if ratio is not None:
+            cfg["gaze"]["ratio"] = ratio
+        cfg["gaze"]["temporal_flag"] = temporal
+        tag = (method_spec.replace(":", "-").replace("@", "-l")
+               .replace("%", "-r").replace("!", "-"))
         cfg["training"].update(epochs=args.epochs, save_interval=args.epochs)
         cfg["logging"]["log_dir"] = str(out / "runs")
         trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc")
