@@ -164,6 +164,11 @@ def main():
         gp_model = gtr.model
         gp_apply = lambda p, obs: gp_model.apply({"params": p}, obs)
         print(f"[train:gaze_predictor] {time.time()-t0:.0f}s: {gm}", flush=True)
+        # free the trainer's 5 GB device-resident dataset before the next one
+        import gc
+
+        del gtr
+        gc.collect()
 
     # ---------- 1c. VQ-VAE pretraining when any method uses Oreo dropout
     vqvae_path = ""
@@ -211,6 +216,9 @@ def main():
                .replace("%", "-r").replace("!", "-"))
         cfg["training"].update(epochs=args.epochs, save_interval=args.epochs)
         cfg["logging"]["log_dir"] = str(out / "runs")
+        import gc
+
+        gc.collect()  # drop the previous method's device-resident buffers
         trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc")
         t0 = time.time()
         metrics = trainer.train()
@@ -250,6 +258,10 @@ def main():
             results[split] = agg
             print(f"[eval:{method}:{split}] mean {agg['mean']:.2f} ± {agg['std']:.2f} "
                   f"({time.time()-t0:.0f}s, {len(pairs)} rollouts)", flush=True)
+        # release this method's device-resident dataset before the next build
+        # (two live copies at once is ~10 GB of the 16 GB HBM)
+        trainer = policy = roll = roll_v = None
+        gc.collect()
         report["methods"][method_spec] = {
             "train_seconds": round(train_s, 1),
             "final_loss": metrics,
