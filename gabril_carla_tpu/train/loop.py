@@ -126,6 +126,31 @@ class Trainer:
                 extra = {"model_type": "gaze_predictor" if self.mode == "gaze" else self.mode}
             save_manifest(self.logger.ckpt_dir, self.cfg, epoch, extra=extra)
 
+    def save_full_state(self, name: str = "resume"):
+        """Full-state checkpoint (params + optimizer state + step counter).
+
+        One-ups the reference, which only saves module weights per epoch
+        (SURVEY §5.4: 'no optimizer-state resume')."""
+        save_params(self.logger.ckpt_dir, f"_{name}", {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": jnp.asarray(self.state.step),
+            "global_step": jnp.asarray(self._global_step),
+        })
+
+    def restore_full_state(self, path):
+        tpl = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": jnp.asarray(self.state.step),
+            "global_step": jnp.asarray(self._global_step),
+        }
+        loaded = restore_params(path, tpl)
+        self.state = self.state.replace(
+            params=loaded["params"], opt_state=loaded["opt_state"], step=loaded["step"]
+        )
+        self._global_step = int(loaded["global_step"])
+
     def _maybe_load_vqvae(self):
         """Oreo: adopt a pretrained VQ-VAE's encoder + frozen quantizer
         (train_bc.py:87-99 parity)."""

@@ -41,3 +41,22 @@ def test_device_mode_trains():
     assert tr.device_mode
     metrics = tr.train()
     assert np.isfinite(metrics["loss"])
+
+
+def test_full_state_checkpoint_resume():
+    store = synthetic_episodes(n_demos=2, steps=16, img_hw=(24, 48), max_points=3)
+    tr = Trainer(cfg_small(False), BCDataset(store, frame_stack=2), mode="bc")
+    tr.train()
+    tr.save_full_state()
+    path = tr.logger.ckpt_dir / "ep_resume"
+
+    tr2 = Trainer(cfg_small(False), BCDataset(store, frame_stack=2), mode="bc")
+    tr2.restore_full_state(path)
+    assert int(tr2.state.step) == int(tr.state.step)
+    a = jax.tree.leaves(tr.state.params)[0]
+    b = jax.tree.leaves(tr2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too
+    oa = jax.tree.leaves(tr.state.opt_state)[0]
+    ob = jax.tree.leaves(tr2.state.opt_state)[0]
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
