@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as C
-from .dynamics import left_normal
-from .state import Criteria, SceneState
+
+from .state import SceneState
 
 ROUTE_WINDOW = 20  # forward search window for ego localization (1 m points)
 

@@ -15,13 +15,13 @@ function of (WorldSpec, SceneState).
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 
 from ..env import constants as C
-from ..env.dynamics import left_normal
+
 
 W, H = 320, 180
 FOV_DEG = 60.0
