@@ -143,9 +143,13 @@ def main():
 
     # ---------- 1b. frozen gaze predictor for heat-needing methods
     # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
+    def parse_core(m):
+        t = m.replace("!notemporal", "").split("%")[0].split("@")[0]
+        meth, _, drop = t.partition(":")
+        return meth, drop or "None"
+
     needs_gp = any(
-        m.split("@")[0].split(":")[0] in ("Mask", "ViSaRL", "AGIL")
-        or (":" in m and m.split("@")[0].split(":")[1] in ("GMD", "IGMD"))
+        parse_core(m)[0] in ("Mask", "ViSaRL", "AGIL") or parse_core(m)[1] in ("GMD", "IGMD")
         for m in args.methods
     )
     gp_apply, gp_params = None, None
