@@ -65,9 +65,16 @@ def main(argv=None):
     specs = jax.tree.map(jax.numpy.asarray, specs)
     idx_of = {r: i for i, r in enumerate(route_ids)}
 
+    needs_heat = agent.cfg.gaze["method"] in ("Mask", "ViSaRL", "AGIL") or \
+        agent.cfg.dropout["method"] in ("GMD", "IGMD")
+    use_analytic = needs_heat and agent.gaze_predictor_apply is None
+    if use_analytic:
+        print("warning: heat-needing method without a trained gaze predictor in "
+              "the manifest — falling back to analytic scene-graph gaze")
     roll = make_rollout_fn(
         agent.policy_fn(), agent.cfg, steps=args.steps,
         gaze_predictor_apply=agent.gaze_predictor_apply,
+        use_analytic_gaze=use_analytic,
     )
     roll_batch = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
 

@@ -44,8 +44,18 @@ def make_rollout_fn(
         "GMD",
         "IGMD",
     )
+    if needs_heat and gaze_predictor_apply is None and not use_analytic_gaze:
+        # A heat-needing method evaluated with zero heat silently drives on an
+        # all-black input (Mask) or garbage-averaged latents (AGIL). The
+        # reference always runs the gaze predictor here (bc_agent.py:275-298),
+        # so refuse instead of producing quietly wrong scores.
+        raise ValueError(
+            f"gaze method {cfg.gaze['method']!r} / dropout {cfg.dropout['method']!r} "
+            "needs gaze heat at eval: pass gaze_predictor_apply (frozen predictor, "
+            "bc_agent.py:275-298 parity) or set use_analytic_gaze=True"
+        )
     heatmapper = None
-    if needs_heat and use_analytic_gaze:
+    if needs_heat and gaze_predictor_apply is None:
         from ..ops.heatmap import GazeHeatmapper
 
         heatmapper = GazeHeatmapper(
@@ -60,31 +70,40 @@ def make_rollout_fn(
         frames = jnp.repeat(frame[..., None], s, axis=-1)  # [H, W, S]
         return state, frames
 
+    def compute_heat(spec, state, params, obs):
+        if not needs_heat:
+            return None
+        if gaze_predictor_apply is not None:
+            # frozen gaze predictor (bc_agent.py:275-298 parity); clamp to
+            # [0,1] like the reference (bc_agent.py:277-278) — the UNet head
+            # is an unbounded 1x1 conv
+            pred = gaze_predictor_apply(params["gaze_predictor"], obs)  # [1,H,W,1]
+            pred = jnp.clip(pred, 0.0, 1.0)
+            return jnp.repeat(pred, s, axis=-1)
+        # analytic gaze from the scene graph, splatted like training
+        coords = analytic_gaze(spec, state, heatmapper.maxpoints)
+        hm = heatmapper.heatmaps(coords[None])  # [1, H, W]
+        return jnp.repeat(hm[..., None], s, axis=-1)
+
     def tick(carry, _, spec, params):
         state, frames = carry
         frame = render_frame(spec, state)
         frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
         obs = frames[None]  # [1, H, W, S]
 
-        heat = None
-        if needs_heat:
-            if gaze_predictor_apply is not None:
-                # frozen gaze predictor (bc_agent.py:275-298 parity)
-                pred = gaze_predictor_apply(params["gaze_predictor"], obs)  # [1,H,W,1]
-                heat = jnp.repeat(pred, s, axis=-1)
-            elif heatmapper is not None:
-                # analytic gaze from the scene graph, splatted like training
-                coords = analytic_gaze(spec, state, heatmapper.maxpoints)
-                hm = heatmapper.heatmaps(coords[None])  # [1, H, W]
-                heat = jnp.repeat(hm[..., None], s, axis=-1)
-            else:
-                heat = jnp.zeros_like(obs)
-
+        heat = compute_heat(spec, state, params, obs)
         action = policy_fn(params, obs, heat)[0]
         if confounded:
-            # two-pass predict -> overlay -> re-predict (bc_agent.py:321-352)
-            obs2 = jax.vmap(lambda f: confounded_overlay(f, action), in_axes=-1, out_axes=-1)(obs[0])
-            action = policy_fn(params, obs2[None], heat)[0]
+            # two-pass predict -> overlay -> re-predict (bc_agent.py:321-352).
+            # The overlaid frame persists in the ring buffer so older stack
+            # entries keep their own-timestep overlays, matching both the
+            # confounded training data and the reference's processed-frame
+            # buffer (bc_agent.py:228-269).
+            frame_ov = confounded_overlay(frame, action)
+            frames = jnp.concatenate([frames[..., :-1], frame_ov[..., None]], axis=-1)
+            obs2 = frames[None]
+            heat2 = compute_heat(spec, state, params, obs2)
+            action = policy_fn(params, obs2, heat2)[0]
         # warm-up no-ops: full brake (noop_control, autonomous_agent.py:194-206)
         noop = jnp.zeros(7).at[2].set(1.0)
         action = jnp.where(state.t < WARMUP_STEPS, noop, action)

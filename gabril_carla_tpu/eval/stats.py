@@ -58,24 +58,52 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
     else:
         status = "Failed"
 
-    return {
+    scores = {
+        "score_route": round(s["score_route"], ROUND),
+        "score_penalty": round(s["score_penalty"], ROUND),
+        "score_composed": round(s["score_composed"], ROUND),
+    }
+    record = {
         "route_id": f"RouteScenario_{route_id}",
         "seed": seed,
         "index": 0,
         "status": status,
         "num_infractions": num_inf,
         "infractions": infractions,
-        "scores": {
-            "score_route": round(s["score_route"], ROUND),
-            "score_penalty": round(s["score_penalty"], ROUND),
-            "score_composed": round(s["score_composed"], ROUND),
-        },
+        "scores": scores,
         "meta": {
             "route_length": round(route_length, ROUND),
             "duration_game": round(duration_game, ROUND),
             "duration_system": round(duration_system, ROUND),
         },
     }
+    # _checkpoint wrapper so the reference's eval/calc_scores.py:77
+    # (data["_checkpoint"]["global_record"]["scores_mean"]["score_composed"])
+    # reads our stats.json unchanged. Infractions become per-km rates over
+    # the driven distance, matching compute_global_statistics
+    # (statistics_manager.py:418-536) for the single-route case.
+    km = max(route_length * s["score_route"] / 100.0 / 1000.0, 1e-3)
+    per_km = {k: round(len(v) / km, ROUND) for k, v in infractions.items()}
+    per_km["yield_emergency_vehicle_infractions"] = per_km.pop("yield_emergency_vehicle")
+    record["_checkpoint"] = {
+        "global_record": {
+            "index": -1,
+            "route_id": -1,
+            "status": status,
+            "infractions": per_km,
+            "scores_mean": scores,
+            "scores_std_dev": {k: 0 for k in scores},
+            "meta": {
+                "total_length": round(route_length, ROUND),
+                "duration_game": round(duration_game, ROUND),
+                "duration_system": round(duration_system, ROUND),
+                "exceptions": [],
+            },
+        },
+        "progress": [1, 1],
+        "records": [dict(record)],
+    }
+    return record
 
 
 def write_stats_json(out_dir: str | Path, record: dict) -> Path:

@@ -114,6 +114,13 @@ def init_bc_params(models: BCModels, cfg, rng: jax.Array) -> dict:
 def init_bc_state(cfg, rng: jax.Array, tx) -> tuple[BCModels, TrainState]:
     models = build_bc_models(cfg)
     params = init_bc_params(models, cfg, rng)
+    if models.quantizer is not None:
+        # Oreo's quantizer is frozen (reference sets requires_grad=False,
+        # train_bc.py:91-93); mask it out of the optimizer so weight decay
+        # can't erode it despite the stop_gradient in the loss.
+        import optax
+
+        tx = optax.masked(tx, lambda p: {k: k != "quantizer" for k in p})
     state = TrainState.create(apply_fn=None, params=params, tx=tx)
     return models, state
 
@@ -176,11 +183,18 @@ def _reg_loss(models: BCModels, cfg, params, z, z_flat, gg, gc, xx, ivg, key):
         return _weighted_mean(margin, ivg)
 
     if method == "GRIL":
+        # Coordinate MSE over VALID points only. The reference feeds -1
+        # padding straight into F.mse_loss and clamps the result to [0,100]
+        # (train_bc.py:183-192); with multi-point analytic gaze most slots
+        # are padding whose on/off pattern flips frame-to-frame, so the
+        # unmasked MSE regresses noise and drags the encoder (round-1 GRIL
+        # collapse). Masking is the intentional divergence; no clamp needed.
         pred = models.gril_head.apply({"params": params["gril_head"]}, z_flat).astype(jnp.float32)
         target = gc.reshape(b, -1).astype(jnp.float32)
-        per = jnp.mean((pred - target) ** 2, axis=-1)
-        loss = _weighted_mean(per, ivg) + 1e-8
-        return jnp.where(jnp.sum(ivg) > 0, jnp.clip(loss, 0.0, 100.0), 0.0)
+        valid = (target >= 0.0).astype(jnp.float32)
+        se = jnp.square(pred - target) * valid
+        per = jnp.sum(se, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+        return _weighted_mean(per, ivg)
 
     return jnp.asarray(0.0, jnp.float32)
 

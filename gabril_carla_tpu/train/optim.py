@@ -98,9 +98,12 @@ def build_optimizer(cfg_opt, cfg_sched, cfg_train, steps_per_epoch: int) -> opta
     kind = cfg_opt.get("type", "adam")
     wd = cfg_opt.get("weight_decay", 0.0)
     if kind == "adam":
+        # torch.optim.Adam couples L2 into the gradient BEFORE the moment
+        # updates (unlike AdamW's decoupled decay), so decay must precede
+        # scale_by_adam to match the reference numerics.
         tx = optax.chain(
-            optax.scale_by_adam(),
             optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.scale_by_adam(),
             optax.scale_by_learning_rate(sched),
         )
     elif kind == "adamw":

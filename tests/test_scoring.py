@@ -82,3 +82,18 @@ def test_aggregate_scores_mean_per_route():
     assert agg["mean"] == 80.0
     assert agg["per_route"]["RouteScenario_1"] == 70.0
     assert agg["n"] == 3
+
+
+def test_route_record_checkpoint_wrapper():
+    """calc_scores.py:77 reads _checkpoint.global_record.scores_mean — emit it."""
+    spec = make_spec()
+    st = full_route_state(spec, state_with(spec, collisions_vehicle=np.int32(1)))
+    rec = route_record(9, 400, compute_score(spec, st), duration_game=20.0,
+                       route_length=150.0)
+    gr = rec["_checkpoint"]["global_record"]
+    assert gr["scores_mean"] == rec["scores"]
+    assert gr["meta"]["total_length"] == 150.0
+    assert gr["infractions"]["collisions_vehicle"] > 0  # per-km rate
+    assert "yield_emergency_vehicle_infractions" in gr["infractions"]
+    assert rec["_checkpoint"]["records"][0]["scores"] == rec["scores"]
+    assert "_checkpoint" not in rec["_checkpoint"]["records"][0]

@@ -93,3 +93,40 @@ def test_oreo_replicates_batch():
     cfg = small_cfg(dp_method="Oreo")
     metrics = run_one_step(cfg)
     assert np.isfinite(float(metrics["loss_actor"]))
+
+
+def test_gril_masks_invalid_padding():
+    """-1 padded gaze slots must not enter the coordinate MSE (round-2 fix)."""
+    cfg = small_cfg(gaze_method="GRIL")
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, steps_per_epoch=2)
+    models, state = init_bc_state(cfg, jax.random.PRNGKey(0), tx)
+    batch = jax.tree.map(jnp.asarray, one_batch(cfg))
+    # all points valid at a fixed coordinate
+    gz = jnp.full_like(batch["gaze_seq"], 0.5)
+    b1 = dict(batch, gaze_seq=gz)
+    _, m1 = bc_loss_fn(state.params, models, cfg, b1, jax.random.PRNGKey(1))
+    # same coords but last 2 points padded -1: masked loss must equal the
+    # all-valid loss (identical per-valid-coordinate error), not blow up
+    gz2 = gz.at[..., 2:].set(-1.0)
+    b2 = dict(batch, gaze_seq=gz2)
+    _, m2 = bc_loss_fn(state.params, models, cfg, b2, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss_reg"]))
+    # per-coord MSE on the shared first point is identical across both
+    np.testing.assert_allclose(float(m1["loss_reg"]), float(m2["loss_reg"]), atol=0.6)
+    # all-padding batch contributes zero reg loss
+    b3 = dict(batch, gaze_seq=jnp.full_like(gz, -1.0))
+    _, m3 = bc_loss_fn(state.params, models, cfg, b3, jax.random.PRNGKey(1))
+    assert float(m3["loss_reg"]) == 0.0
+
+
+def test_oreo_quantizer_masked_from_optimizer():
+    """Frozen quantizer params must not move even with weight decay on."""
+    cfg = small_cfg(dp_method="Oreo", **{"optimizer.weight_decay": 0.1})
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, steps_per_epoch=2)
+    models, state = init_bc_state(cfg, jax.random.PRNGKey(0), tx)
+    step = make_bc_train_step(models, cfg, donate=False)
+    batch = jax.tree.map(jnp.asarray, one_batch(cfg))
+    new_state, _ = step(state, batch, jax.random.PRNGKey(1))
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        state.params["quantizer"], new_state.params["quantizer"])
+    assert max(jax.tree.leaves(diff)) == 0.0, "frozen quantizer was updated"
