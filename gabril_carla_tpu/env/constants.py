@@ -14,8 +14,12 @@ EGO_MAX_BRAKE = 8.0  # m/s^2 full brake
 EGO_DRAG = 0.08  # 1/s speed-proportional resistance
 EGO_MAX_SPEED = 25.0  # m/s cap
 
-# Fixed-capacity actor pools (vmap-friendly alive-mask pools, SURVEY §7)
-N_VEHICLES = 16  # scenario NPC vehicles/bicycles (flows, blockers, cut-ins)
+# Fixed-capacity actor pools (vmap-friendly alive-mask pools, SURVEY §7).
+# Slots [0, 4): scripted scenario vehicles; [4, 16): the two flow blocks;
+# [16, 24): ambient background traffic (BackgroundBehavior-lite, see ambient.py)
+N_VEHICLES = 24
+N_AMBIENT_SAME = 4  # same-direction ambient slots [16, 20)
+N_AMBIENT_OPP = 4  # opposite-lane ambient slots [20, 24)
 N_WALKERS = 8
 N_STATICS = 24  # props: accident cars, containers, doors (slots 0-7) +
 # parked vehicles from the per-town tables (slots 8+, world.py)
@@ -27,6 +31,15 @@ MAX_FLOW_POINTS = 128  # resampled scenario flow polylines
 
 # Lane geometry (used when OpenDRIVE data is unavailable)
 LANE_WIDTH = 3.5
+
+# Stop signs per route (generalized RunningStopTest, atomic_criteria.py:1799)
+N_STOPS = 2
+
+# Traffic-light default cycle (CARLA defaults: green 10 s / yellow 3 s / red
+# ~ sum of the other entries' green+yellow; a 25 s cycle is representative)
+TL_GREEN_S = 10.0
+TL_YELLOW_S = 3.0
+TL_RED_S = 12.0
 
 # Criteria thresholds (srunner atomic_criteria.py)
 BLOCKED_SPEED = 0.1  # m/s (ActorBlockedTest:417)

@@ -110,22 +110,24 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     ran_red = red_light_crossing(
         spec.tl_stop_s, spec.tl_offset, spec.n_tl, ego.route_idx, new_idx,
         state.t.astype(jnp.float32) * C.DT,
+        spec.tl_green_s, spec.tl_yellow_s, spec.tl_red_s,
     )
 
     # --- route deviation
     deviated = crit.deviated | (lat > C.IN_ROUTE_RADIUS)
 
-    # --- stop sign (VanillaNonSignalizedTurnEncounterStopsign routes):
-    # one full stop inside [trigger-4, trigger+5] satisfies the criterion
-    # (RunningStopTest semantics, atomic_criteria.py:1799: latched per sign).
-    has_stop = spec.scen_aux[2] > 0.5
+    # --- stop signs: one full stop inside [stop_s-4, stop_s+5] satisfies
+    # each sign (RunningStopTest semantics, atomic_criteria.py:1799: one
+    # latched stop required per sign; leaving the zone without stopping
+    # counts one infraction, once).
     s_ego = new_idx.astype(jnp.float32)
-    in_zone = has_stop & (s_ego >= spec.trigger_s - 4.0) & (s_ego <= spec.trigger_s + 5.0)
+    sign_on = jnp.arange(spec.stop_s.shape[0]) < spec.n_stop
+    in_zone = sign_on & (s_ego >= spec.stop_s - 4.0) & (s_ego <= spec.stop_s + 5.0)  # [K]
     stopped_now = ego.speed < C.BLOCKED_SPEED
     stop_done = crit.stop_done | (in_zone & stopped_now)
-    pending = in_zone & ~stop_done
-    left_zone = has_stop & (s_ego > spec.trigger_s + 5.0) & ~stop_done & (crit.stop_infraction == 0)
-    stop_inf = crit.stop_infraction + left_zone.astype(jnp.int32)
+    pending = jnp.any(in_zone & ~stop_done)
+    left_zone = sign_on & (s_ego > spec.stop_s + 5.0) & ~stop_done
+    stop_inf = crit.stop_infraction + jnp.sum(left_zone.astype(jnp.int32))
     # leaving without stopping counts once; latch done so it doesn't re-fire
     stop_done = stop_done | left_zone
 

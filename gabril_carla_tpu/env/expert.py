@@ -170,12 +170,22 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     closing_w = (lw_ * (wk.vel @ left)) < 0.0
     yield_walk = jnp.any(wk.alive & (fw > -1.0) & (fw < 13.0) & (jnp.abs(lw_) < 5.0) & (closing_w | (jnp.abs(lw_) < 2.0)))
 
-    # ---------- stop sign: brake in the zone until the stop has latched
-    has_stop = spec.scen_aux[2] > 0.5
-    in_zone = has_stop & (s_ego >= spec.trigger_s - 4.0) & (s_ego <= spec.trigger_s + 4.0)
-    must_stop = in_zone & ~state.criteria.stop_done
+    # ---------- stop signs: brake in each zone until that stop has latched
+    sign_on = jnp.arange(spec.stop_s.shape[0]) < spec.n_stop
+    in_zone = sign_on & (s_ego >= spec.stop_s - 4.0) & (s_ego <= spec.stop_s + 4.0)
+    must_stop = jnp.any(in_zone & ~state.criteria.stop_done)
 
-    brake_on = hazard | yield_cross | yield_walk | must_stop | wait_for_gap
+    # ---------- traffic lights: hold short of the stop line unless green
+    # (red_light_crossing fires when entering on red, traffic_lights.py)
+    from .traffic_lights import GREEN, light_state
+
+    t_s = state.t.astype(jnp.float32) * C.DT
+    tl_on = jnp.arange(spec.tl_stop_s.shape[0]) < spec.n_tl
+    tl_color = light_state(t_s, spec.tl_offset, spec.tl_green_s, spec.tl_yellow_s, spec.tl_red_s)
+    approaching = tl_on & (s_ego >= spec.tl_stop_s - 9.0) & (s_ego <= spec.tl_stop_s - 1.0)
+    hold_light = jnp.any(approaching & (tl_color != GREEN))
+
+    brake_on = hazard | yield_cross | yield_walk | must_stop | hold_light | wait_for_gap
     throttle = jnp.clip(0.5 * (v_target - ego.speed), 0.0, 0.75)
     throttle = jnp.where(brake_on, 0.0, throttle)
     brake = jnp.where(brake_on, 1.0, 0.0)

@@ -115,8 +115,9 @@ class Criteria:
     last_collision_pos: jnp.ndarray  # [2] ego position at the last event
     red_light: jnp.ndarray  # int32
     stop_infraction: jnp.ndarray  # int32
-    stop_pending: jnp.ndarray  # bool: inside a stop zone, not yet stopped
-    stop_done: jnp.ndarray  # bool: made a full stop in the zone (latched)
+    stop_pending: jnp.ndarray  # bool: inside some stop zone, not yet stopped
+    stop_done: jnp.ndarray  # [N_STOPS] bool: full stop latched per sign
+    # (RunningStopTest is per-sign, atomic_criteria.py:1799)
     outside_lane_m: jnp.ndarray  # f32 meters driven outside lanes
     driven_m: jnp.ndarray  # f32 total meters driven
     speed_sum: jnp.ndarray  # f32 integrated speed (MinimumSpeedRouteTest)
@@ -133,7 +134,7 @@ class Criteria:
             collisions_vehicle=i0, collisions_pedestrian=i0, collisions_static=i0,
             collision_cooldown=f0, last_collision_pos=jnp.full((2,), 1e9),
             red_light=i0, stop_infraction=i0,
-            stop_pending=jnp.asarray(False), stop_done=jnp.asarray(False),
+            stop_pending=jnp.asarray(False), stop_done=jnp.zeros((C.N_STOPS,), bool),
             outside_lane_m=f0, driven_m=f0, speed_sum=f0,
             blocked_time=f0, blocked=jnp.asarray(False), deviated=jnp.asarray(False),
             min_speed_pct=jnp.asarray(100.0),

@@ -98,11 +98,21 @@ class WorldSpec:
     scen_aux: np.ndarray  # [4] type-specific floats
     route_id: np.ndarray = field(default_factory=lambda: np.int32(0))
     weather: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
-    # traffic lights (stop-line arclengths + phase offsets; n_tl = 0 on the
-    # benchmark routes, whose junctions run frozen-green — see traffic_lights)
+    # traffic lights: stop-line arclengths, phase offsets and per-light cycle
+    # windows (green/yellow/red seconds). A "frozen" profile is a cycle with
+    # one huge window — CrossingBicycleFlow's red-for-5s-then-green contract
+    # (cross_bicycle_flow.py:82,148-176: ego light red for green_light_delay=5
+    # while the flow populates, then frozen green) is red_s=5, green_s=1e6.
     tl_stop_s: np.ndarray = field(default_factory=lambda: np.zeros(N_TRAFFIC_LIGHTS, np.float32))
     tl_offset: np.ndarray = field(default_factory=lambda: np.zeros(N_TRAFFIC_LIGHTS, np.float32))
     n_tl: np.ndarray = field(default_factory=lambda: np.int32(0))
+    tl_green_s: np.ndarray = field(default_factory=lambda: np.full(N_TRAFFIC_LIGHTS, C.TL_GREEN_S, np.float32))
+    tl_yellow_s: np.ndarray = field(default_factory=lambda: np.full(N_TRAFFIC_LIGHTS, C.TL_YELLOW_S, np.float32))
+    tl_red_s: np.ndarray = field(default_factory=lambda: np.full(N_TRAFFIC_LIGHTS, C.TL_RED_S, np.float32))
+    # stop signs: stop-line arclengths (generalized RunningStopTest,
+    # atomic_criteria.py:1799 — one latched full stop required per sign)
+    stop_s: np.ndarray = field(default_factory=lambda: np.zeros(C.N_STOPS, np.float32))
+    n_stop: np.ndarray = field(default_factory=lambda: np.int32(0))
 
 
 def _left(d: np.ndarray) -> np.ndarray:
@@ -230,6 +240,40 @@ def _point_at(route_xy, route_dir, s: float):
     return route_xy[i], route_dir[i]
 
 
+def detect_junctions(xy: np.ndarray, dirs: np.ndarray,
+                     min_turn_deg: float = 50.0, window_m: int = 30) -> list[float]:
+    """Junction-entry arclengths from route curvature.
+
+    Without the OpenDRIVE maps (external CARLA assets), a junction is
+    inferred where the route heading changes by >= min_turn_deg within a
+    window_m window — i.e. a turn at an intersection, which is where the
+    reference's ego encounters junction traffic lights / stop signs
+    (carla_data_provider.py:317-455 annotates lights per junction). The
+    entry point is placed at the start of the turn. Gentle curves (highway
+    bends) stay below the threshold.
+    """
+    n = len(xy)
+    if n < window_m + 2:
+        return []
+    yaw = np.unwrap(np.arctan2(dirs[:, 1], dirs[:, 0]))
+    dyaw = np.abs(yaw[window_m:] - yaw[:-window_m])  # [n - window_m]
+    hot = dyaw > math.radians(min_turn_deg)
+    entries: list[float] = []
+    i = 0
+    while i < len(hot):
+        if hot[i]:
+            j = i
+            while j < len(hot) and hot[j]:
+                j += 1
+            entry = float(i)  # turn starts here; the window looks forward
+            if entry > 15.0 and entry < n - 10.0:  # skip spawn / goal edges
+                entries.append(entry)
+            i = j + window_m  # one junction per turn cluster
+        else:
+            i += 1
+    return entries
+
+
 def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec:
     """Compile one parsed route into a WorldSpec.
 
@@ -266,11 +310,23 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
     scen_pos = np.zeros(2, np.float32)
     scen_aux = np.zeros(4, np.float32)
 
+    tl_stop_s = np.zeros(N_TRAFFIC_LIGHTS, np.float32)
+    tl_offset = np.zeros(N_TRAFFIC_LIGHTS, np.float32)
+    tl_green = np.full(N_TRAFFIC_LIGHTS, C.TL_GREEN_S, np.float32)
+    tl_yellow = np.full(N_TRAFFIC_LIGHTS, C.TL_YELLOW_S, np.float32)
+    tl_red = np.full(N_TRAFFIC_LIGHTS, C.TL_RED_S, np.float32)
+    n_tl = 0
+    stop_s = np.zeros(C.N_STOPS, np.float32)
+    n_stop = 0
+
     scen = route["scenarios"][0] if route["scenarios"] else {"type": "None"}
     stype = SCENARIO_TYPES.get(scen["type"], 0)
     trig_s = _project_s(xy, np.array(scen["trigger"][:2], np.float32)) if "trigger" in scen else 0.0
-    if str(scen["type"]).startswith("VanillaNonSignalizedTurnEncounterStopsign"):
-        scen_aux[2] = 1.0  # stop-sign criterion active (criteria.py)
+    nonsignalized = "NonSignalized" in str(scen["type"])
+    if nonsignalized and "Stopsign" in str(scen["type"]):
+        # VanillaNonSignalizedTurnEncounterStopsign: stop sign at the trigger
+        stop_s[0] = trig_s
+        n_stop = 1
 
     def set_flow(slot, pts, speed, gap, kind=0):
         f = resample_polyline(np.asarray(pts, np.float32), 1.0)
@@ -398,6 +454,38 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
     for k, (px, py, pyaw) in enumerate(sel):
         add_static(C.N_SCENARIO_STATICS + k, (px, py), pyaw, CAR_EXTENT)
 
+    # ---- traffic signals (RunningRedLightTest / RunningStopTest parity,
+    # atomic_criteria.py:1620,1799 — the reference checks every signal the
+    # ego encounters, not just scenario-owned ones)
+    if stype == 4:
+        # CrossingBicycleFlow: signalized junction at the flow crossing; ego
+        # light red for green_light_delay=5 s, then frozen green
+        # (cross_bicycle_flow.py:82,167-172)
+        fl = flow_xy[0][: max(int(flow_len[0]), 2)]
+        d2 = np.linalg.norm(xy[:, None, :] - fl[None, :, :], axis=-1).min(axis=1)
+        cross_s = float(np.argmin(d2))
+        if d2.min() < 6.0 and cross_s > 8.0:
+            tl_stop_s[n_tl] = cross_s - 6.0
+            tl_green[n_tl] = 1e6
+            tl_yellow[n_tl] = 0.0
+            tl_red[n_tl] = 5.0
+            tl_offset[n_tl] = 1e6  # t=0 lands in the red window
+            n_tl += 1
+    rng_tl = np.random.default_rng(int(route["id"]))
+    for entry in detect_junctions(xy, dirs):
+        if n_tl >= N_TRAFFIC_LIGHTS:
+            break
+        if nonsignalized and abs(entry - trig_s) < 60.0:
+            continue  # the scenario says this junction has no lights
+        if any(abs(entry - tl_stop_s[k]) < 30.0 for k in range(n_tl)):
+            continue
+        if n_stop and any(abs(entry - s) < 30.0 for s in stop_s[:n_stop]):
+            continue
+        tl_stop_s[n_tl] = entry
+        cycle = C.TL_GREEN_S + C.TL_YELLOW_S + C.TL_RED_S
+        tl_offset[n_tl] = float(rng_tl.uniform(0.0, cycle))
+        n_tl += 1
+
     return WorldSpec(
         route_xy=_pad(xy, m),
         route_dir=_pad(dirs, m),
@@ -433,6 +521,14 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
         scen_aux=scen_aux,
         route_id=np.int32(route["id"]),
         weather=np.asarray(route["weather"], np.float32),
+        tl_stop_s=tl_stop_s,
+        tl_offset=tl_offset,
+        n_tl=np.int32(n_tl),
+        tl_green_s=tl_green,
+        tl_yellow_s=tl_yellow,
+        tl_red_s=tl_red,
+        stop_s=stop_s,
+        n_stop=np.int32(n_stop),
     )
 
 

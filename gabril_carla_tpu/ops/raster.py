@@ -142,15 +142,76 @@ def _collect_actor_boxes(state, cam, fwd, right):
     )
 
 
+COL_POLE, COL_LAMP_ON, COL_LAMP_OFF, COL_STOP_SIGN = 0.30, 0.95, 0.12, 0.92
+
+
+def _signal_boxes(spec, state, cam, fwd, right) -> jnp.ndarray:
+    """Traffic lights + stop signs as screen boxes [K, 8].
+
+    Replaces the UE4 signal meshes: each light renders as a pole plus a
+    3-lamp head (red top / yellow mid / green bottom) where the active lamp
+    is bright — a grayscale-readable encoding of the light state (the
+    reference's observations are grayscale too, configs/train_bc_base.yaml).
+    Stop signs render as one bright head at sign height. Inactive slots are
+    masked via the validity column, keeping shapes static for vmap.
+    """
+    from ..env import constants as C2
+    from ..env.traffic_lights import GREEN, RED, YELLOW, light_state
+
+    t_s = state.t.astype(jnp.float32) * C2.DT
+
+    def head_boxes(s_arr, n_active, half_w, z_lo, z_hi, color, depth_bias=0.0):
+        k = s_arr.shape[0]
+        active = jnp.arange(k) < n_active
+        idx = jnp.clip(s_arr.astype(jnp.int32), 0, spec.route_xy.shape[0] - 1)
+        p = spec.route_xy[idx]
+        d = spec.route_dir[idx]
+        rightn = jnp.stack([-d[:, 1], d[:, 0]], -1)  # driver's right roadside
+        base = p + rightn * (0.5 * C.LANE_WIDTH + 0.6)
+        rel = base - cam[None]
+        depth = rel @ fwd
+        lat = rel @ right
+        safe = jnp.maximum(depth, 0.3)
+        u_c = CX + FX * lat / safe
+        du = FX * half_w / safe
+        v0 = CY + FX * (CAM_Z - z_hi) / safe
+        v1 = CY + FX * (CAM_Z - z_lo) / safe
+        vis = active & (depth > 0.5) & (depth < MAX_DEPTH)
+        # lamps ride slightly in front of the pole so the min-depth
+        # composite shows them (same base point otherwise ties on depth)
+        depth = jnp.maximum(depth + depth_bias, 0.31)
+        return jnp.stack(
+            [u_c - du, u_c + du, v0, v1, jnp.where(vis, depth, 1e30), color,
+             vis.astype(jnp.float32), jnp.zeros(k)], axis=1
+        )
+
+    k = spec.tl_stop_s.shape[0]
+    color_state = light_state(
+        t_s, spec.tl_offset, spec.tl_green_s, spec.tl_yellow_s, spec.tl_red_s
+    )
+    rows = [head_boxes(spec.tl_stop_s, spec.n_tl, 0.12, 0.0, 3.4, jnp.full(k, COL_POLE))]
+    for seg_state, z in ((RED, 3.1), (YELLOW, 2.7), (GREEN, 2.3)):
+        col = jnp.where(color_state == seg_state, COL_LAMP_ON, COL_LAMP_OFF)
+        rows.append(head_boxes(spec.tl_stop_s, spec.n_tl, 0.30, z - 0.2, z + 0.2, col,
+                               depth_bias=-0.15))
+    ks = spec.stop_s.shape[0]
+    rows.append(head_boxes(spec.stop_s, spec.n_stop, 0.40, 1.7, 2.4,
+                           jnp.full(ks, COL_STOP_SIGN)))
+    return jnp.concatenate(rows, axis=0)
+
+
 def render_frame(spec, state) -> jnp.ndarray:
     """Grayscale [H, W] frame in [0, 1] from the ego camera.
 
     TPU path: one fused Pallas kernel (pallas_raster.render_frame_pallas);
     CPU path: the reference XLA formulation below (kept as the numeric oracle
-    for kernel tests).
+    for kernel tests). Both composite the same box list (actors + signals).
     """
     ego = state.ego
     cam, fwd, right = _camera_basis(ego.pos, ego.yaw)
+    boxes = jnp.concatenate(
+        [_collect_actor_boxes(state, cam, fwd, right), _signal_boxes(spec, state, cam, fwd, right)]
+    )
 
     if jax.default_backend() == "tpu":
         from .pallas_raster import render_frame_pallas
@@ -167,13 +228,12 @@ def render_frame(spec, state) -> jnp.ndarray:
              jnp.stack([spec.weather[0] / 100.0, start.astype(jnp.float32)]),
              jnp.zeros(8)]
         )
-        boxes = _collect_actor_boxes(state, cam, fwd, right)
         return render_frame_pallas(cam_scalars, route_cols, boxes, ROUTE_VIEW, boxes.shape[0])
 
-    return _render_frame_xla(spec, state, cam, fwd, right)
+    return _render_frame_xla(spec, state, cam, fwd, right, boxes)
 
 
-def _render_frame_xla(spec, state, cam, fwd, right) -> jnp.ndarray:
+def _render_frame_xla(spec, state, cam, fwd, right, boxes) -> jnp.ndarray:
     ego = state.ego
     ground, depth_map, on_ground = _ground_points(cam, fwd, right)
 
@@ -201,30 +261,10 @@ def _render_frame_xla(spec, state, cam, fwd, right) -> jnp.ndarray:
     sky = sky_col + 0.12 * v_grad
     img = jnp.where(on_ground, terrain, sky)
 
-    # ---- actors: masked min-depth composite over all pools
-    pools = []
-    veh = state.vehicles
-    vcol = jnp.where(veh.kind == 1, COL_BIKE, COL_CAR)
-    vh = jnp.where(veh.kind == 1, 1.7, 1.5)
-    pools.append(_actor_boxes(cam, fwd, right, veh.pos, veh.yaw, veh.half_extent, veh.alive, vh) + (vcol,))
-    st = state.statics
-    pools.append(
-        _actor_boxes(cam, fwd, right, st.pos, st.yaw, st.half_extent, st.alive,
-                     jnp.full(st.pos.shape[0], 1.4)) + (jnp.full(st.pos.shape[0], COL_STATIC),)
-    )
-    wk = state.walkers
-    wext = jnp.full((wk.pos.shape[0], 2), 0.35)
-    pools.append(
-        _actor_boxes(cam, fwd, right, wk.pos, jnp.zeros(wk.pos.shape[0]), wext, wk.alive,
-                     jnp.full(wk.pos.shape[0], 1.8)) + (jnp.full(wk.pos.shape[0], COL_WALKER),)
-    )
-
-    u0 = jnp.concatenate([p[0] for p in pools])
-    u1 = jnp.concatenate([p[1] for p in pools])
-    v0 = jnp.concatenate([p[2] for p in pools])
-    v1 = jnp.concatenate([p[3] for p in pools])
-    adepth = jnp.concatenate([p[4] for p in pools])
-    cols = jnp.concatenate([p[6] for p in pools])
+    # ---- actors + signals: masked min-depth composite over the box list
+    u0, u1, v0, v1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    adepth = jnp.where(boxes[:, 6] > 0.5, boxes[:, 4], jnp.inf)
+    cols = boxes[:, 5]
 
     uu = jnp.arange(W, dtype=jnp.float32)[None, None, :]  # [1,1,W]
     vv = jnp.arange(H, dtype=jnp.float32)[None, :, None]  # [1,H,1]

@@ -95,3 +95,103 @@ def test_vmapped_mixed_scenarios():
     assert np.all(np.asarray(pcts) > 10.0)  # all worlds progressed
     scores = jax.vmap(lambda sp, st: compute_score(sp, st)["score_composed"])(batched, states)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def _with_light(spec, stop_s, green_s, yellow_s, red_s, offset):
+    """Install one traffic light into a spec (flax struct replace)."""
+    def arr(v):
+        return jnp.zeros_like(spec.tl_stop_s).at[0].set(v)
+    return spec.replace(
+        tl_stop_s=arr(stop_s), tl_offset=arr(offset),
+        tl_green_s=arr(green_s), tl_yellow_s=arr(yellow_s), tl_red_s=arr(red_s),
+        n_tl=jnp.asarray(1, jnp.int32),
+    )
+
+
+def test_red_light_infraction_end_to_end():
+    """A brakeless policy crossing the stop line on red incurs the 0.7
+    penalty (RunningRedLightTest, atomic_criteria.py:1620)."""
+    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    # red from t=0 for 120 s: green 1 s, yellow 0, red 120, offset 1
+    spec = _with_light(spec, 60.0, 1.0, 0.0, 120.0, 1.0)
+    state = rollout(spec, FULL_THROTTLE, steps=600)
+    score = compute_score(spec, state)
+    assert int(score["red_light"]) == 1
+    assert float(score["score_route"]) == 100.0
+    assert float(score["score_composed"]) == pytest.approx(70.0, abs=0.5)
+
+
+def test_expert_waits_for_green():
+    """The privileged expert holds at a red light and crosses after it turns
+    green — no infraction, full completion."""
+    from gabril_carla_tpu.env.expert import expert_action
+
+    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    # red for the first 20 s, then green for 1000 s
+    spec = _with_light(spec, 60.0, 1000.0, 0.0, 20.0, 1000.0)
+    env = DrivingEnv()
+    state = env.reset(spec, jax.random.PRNGKey(0))
+
+    def body(s, _):
+        s = env.step(spec, s, expert_action(spec, s))
+        return s, (s.ego.route_idx, s.ego.speed)
+
+    state, (idx_trace, speed_trace) = jax.lax.scan(body, state, None, length=1200)
+    score = compute_score(spec, state)
+    assert int(score["red_light"]) == 0
+    assert float(score["score_composed"]) == 100.0
+    # it actually waited: ego stationary before the line while red
+    held = np.asarray((idx_trace < 60) & (speed_trace < 0.3))
+    assert held.sum() > 100
+
+
+def test_stop_sign_infraction_end_to_end():
+    """Blowing through a stop-sign zone costs the 0.8 penalty once
+    (RunningStopTest, atomic_criteria.py:1799)."""
+    spec = jax.tree.map(jnp.asarray, build_world_spec(
+        straight_route(140, scenario="VanillaNonSignalizedTurnEncounterStopsign")))
+    assert int(spec.n_stop) == 1
+    state = rollout(spec, FULL_THROTTLE, steps=600)
+    score = compute_score(spec, state)
+    assert int(score["stop_infraction"]) == 1
+    assert float(score["score_composed"]) == pytest.approx(80.0, abs=0.5)
+
+
+def test_crossing_bicycle_flow_gets_frozen_light():
+    """CrossingBicycleFlow junctions carry the red-5s-then-green profile
+    (cross_bicycle_flow.py:82,167-172)."""
+    spec = build_world_spec(straight_route(
+        200, scenario="CrossingBicycleFlow",
+        extra={"start_actor_flow": (60.0, -30.0), "end_actor_flow": (60.0, 30.0),
+               "flow_speed": 8.0, "source_dist_interval": (20.0, 40.0)}))
+    assert int(spec.n_tl) >= 1
+    assert float(spec.tl_red_s[0]) == 5.0
+    assert float(spec.tl_green_s[0]) == 1e6
+    from gabril_carla_tpu.env.traffic_lights import light_state, GREEN, RED
+    col0 = int(light_state(0.0, spec.tl_offset[0], spec.tl_green_s[0],
+                           spec.tl_yellow_s[0], spec.tl_red_s[0]))
+    col9 = int(light_state(9.0, spec.tl_offset[0], spec.tl_green_s[0],
+                           spec.tl_yellow_s[0], spec.tl_red_s[0]))
+    assert col0 == RED and col9 == GREEN
+
+
+def test_traffic_light_renders_lamps():
+    """The signal head renders: a bright lamp appears when approaching."""
+    from gabril_carla_tpu.ops.raster import render_frame
+
+    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    spec = _with_light(spec, 40.0, 1.0, 0.0, 120.0, 1.0)  # red ahead
+    env = DrivingEnv()
+    state = env.reset(spec, jax.random.PRNGKey(0))
+    # drive 20 m closer so the head is a few pixels tall
+    def body(s, _):
+        return env.step(spec, s, FULL_THROTTLE), None
+    state, _ = jax.lax.scan(body, state, None, length=80)
+    img = np.asarray(render_frame(spec, state))
+    spec_off = spec.replace(n_tl=jnp.asarray(0, jnp.int32))
+    img_off = np.asarray(render_frame(spec_off, state))
+    diff = np.abs(img - img_off)
+    # the pole + head appear above the horizon (upper half of the image)
+    assert (diff[:90] > 0.05).sum() >= 4
+    # and the brightest changed pixel is the lit lamp (brighter than the pole)
+    assert img[:90][diff[:90] > 0.05].max() > 0.7

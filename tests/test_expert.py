@@ -44,7 +44,7 @@ def test_expert_stops_at_stop_sign():
     sc = compute_score(spec, st)
     assert int(sc["stop_infraction"]) == 0
     assert float(sc["score_route"]) == 100.0
-    assert bool(st.criteria.stop_done)
+    assert bool(np.asarray(st.criteria.stop_done).any())
 
 
 def test_expert_overtakes_accident():

@@ -36,7 +36,10 @@ def test_render_frame_structure():
 def test_pallas_kernel_matches_xla_oracle():
     spec, st = scene()
     cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
-    oracle = np.asarray(R._render_frame_xla(spec, st, cam, fwd, right))
+    boxes = jnp.concatenate(
+        [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
+    )
+    oracle = np.asarray(R._render_frame_xla(spec, st, cam, fwd, right, boxes))
 
     from gabril_carla_tpu.ops.pallas_raster import render_frame_pallas
 
@@ -48,7 +51,6 @@ def test_pallas_kernel_matches_xla_oracle():
     cam_scalars = jnp.concatenate(
         [cam, fwd, right, jnp.stack([spec.weather[0] / 100.0, start.astype(jnp.float32)]), jnp.zeros(8)]
     )
-    boxes = R._collect_actor_boxes(st, cam, fwd, right)
     img = np.asarray(
         render_frame_pallas(cam_scalars, route_cols, boxes, R.ROUTE_VIEW, boxes.shape[0], interpret=True)
     )
