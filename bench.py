@@ -3,18 +3,24 @@
 Measures the full pipeline the reference runs at 20 steps/sec/server
 (CARLA sync mode, vlm_gaze/eval/env_manager.py:91,430): rasterized 320x180
 observation -> BC policy forward -> env step (dynamics + scenarios +
-criteria), vmapped over worlds. Baseline = 20 (BASELINE.md).
+criteria + ambient traffic), vmapped over worlds. Baseline = 20 (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Worlds are the REAL 20 Bench2Drive benchmark routes (flows, parked statics,
+signals, weather) tiled to n_worlds when the route XML is present; otherwise
+synthetic sine routes. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "mode"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+ROUTES_XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
 
 
 def main() -> int:
@@ -22,7 +28,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from gabril_carla_tpu.env import DrivingEnv
-    from gabril_carla_tpu.env.world import build_world_spec, stack_specs
+    from gabril_carla_tpu.env.world import build_world_spec, load_benchmark_specs, stack_specs
     from gabril_carla_tpu.ops.raster import render_frame
     from gabril_carla_tpu.train.bc import build_bc_models, init_bc_params, make_bc_policy_fn
     from gabril_carla_tpu.utils import default_bc_config
@@ -38,21 +44,32 @@ def main() -> int:
     policy = make_bc_policy_fn(models, cfg)
     s = cfg.data["frame_stack"]
 
-    # synthetic route batch (no external files needed)
-    rng = np.random.default_rng(0)
-    specs = []
-    for i in range(n_worlds):
-        t = np.linspace(0, 2 * np.pi, 150)
-        curve = 30.0 * rng.standard_normal()
-        wps = np.stack([300.0 * t / (2 * np.pi), curve * np.sin(t)], 1).astype(np.float32)
-        specs.append(
-            build_world_spec(
-                {"id": i, "town": "T", "waypoints": wps,
-                 "scenarios": [{"type": "PedestrianCrossing", "trigger": (float(wps[20, 0]), float(wps[20, 1]), 0.0)}],
-                 "weather": [0, 0, 0, 90]}
+    if os.path.exists(ROUTES_XML) and "--synthetic" not in sys.argv:
+        # the real benchmark worlds, tiled to the requested batch
+        from gabril_carla_tpu.data.tasks import seen_routes, unseen_routes
+
+        ids = seen_routes() + unseen_routes()
+        base = load_benchmark_specs(ROUTES_XML, ids)
+        reps = -(-n_worlds // len(ids))
+        specs = jax.tree.map(lambda a: jnp.asarray(np.concatenate([a] * reps)[:n_worlds]), base)
+        mode = "real_routes"
+    else:
+        # synthetic route batch (no external files needed)
+        rng = np.random.default_rng(0)
+        specs = []
+        for i in range(n_worlds):
+            t = np.linspace(0, 2 * np.pi, 150)
+            curve = 30.0 * rng.standard_normal()
+            wps = np.stack([300.0 * t / (2 * np.pi), curve * np.sin(t)], 1).astype(np.float32)
+            specs.append(
+                build_world_spec(
+                    {"id": i, "town": "T", "waypoints": wps,
+                     "scenarios": [{"type": "PedestrianCrossing", "trigger": (float(wps[20, 0]), float(wps[20, 1]), 0.0)}],
+                     "weather": [0, 0, 0, 90]}
+                )
             )
-        )
-    specs = jax.tree.map(jnp.asarray, stack_specs(specs))
+        specs = jax.tree.map(jnp.asarray, stack_specs(specs))
+        mode = "synthetic"
 
     env = DrivingEnv()
 
@@ -91,6 +108,7 @@ def main() -> int:
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 20.0, 1),
+                "mode": mode,
             }
         )
     )

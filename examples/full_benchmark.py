@@ -49,6 +49,8 @@ def main():
     p.add_argument("--methods", nargs="*", default=["None", "Reg"],
                    help="gaze methods; append :dropout and @lambda, e.g. Reg@1.0 None:GMD")
     p.add_argument("--out", default="results")
+    p.add_argument("--train_seed", type=int, default=42,
+                   help="training seed (init + batch order); the protocol runs >=3 seeds per method")
     p.add_argument("--store_cache", default=None, help="npz path to save/load collected episodes")
     p.add_argument("--confounded", action="store_true",
                    help="bake expert-action overlays into training frames and evaluate with the "
@@ -139,7 +141,7 @@ def main():
         print(f"[confound] overlaid {len(imgs)} frames in {time.time()-t0:.0f}s", flush=True)
 
     report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
-              "confounded": args.confounded, "methods": {}}
+              "confounded": args.confounded, "train_seed": args.train_seed, "methods": {}}
 
     # ---------- 1b. frozen gaze predictor for heat-needing methods
     # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
@@ -158,7 +160,8 @@ def main():
 
         gcfg = default_gaze_config()
         gcfg["data"].update(batch_size=args.batch_size, task="GazePred")
-        gcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=999)
+        gcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=999,
+                                seed=args.train_seed)
         gcfg["scheduler"]["type"] = "none"
         gcfg["logging"]["log_dir"] = str(out / "runs")
         t0 = time.time()
@@ -179,7 +182,8 @@ def main():
     if any(":" in m and m.split("@")[0].split(":")[1] == "Oreo" for m in args.methods):
         vcfg = default_bc_config()
         vcfg["data"].update(batch_size=args.batch_size, task="VQVAE")
-        vcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=10**6)
+        vcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=10**6,
+                                seed=args.train_seed)
         vcfg["scheduler"]["type"] = "none"
         vcfg["logging"]["log_dir"] = str(out / "runs")
         t0 = time.time()
@@ -218,7 +222,8 @@ def main():
         cfg["gaze"]["temporal_flag"] = temporal
         tag = (method_spec.replace(":", "-").replace("@", "-l")
                .replace("%", "-r").replace("!", "-"))
-        cfg["training"].update(epochs=args.epochs, save_interval=args.epochs)
+        cfg["training"].update(epochs=args.epochs, save_interval=args.epochs,
+                               seed=args.train_seed)
         cfg["logging"]["log_dir"] = str(out / "runs")
         import gc
 

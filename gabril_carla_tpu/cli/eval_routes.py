@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out", default="eval_out")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--video", action="store_true",
+                   help="write an mp4 of each rollout next to its stats.json "
+                        "(autonomous_agent.py:118-132 parity)")
     args = p.parse_args(argv)
 
     if args.route_id is not None:
@@ -75,6 +78,7 @@ def main(argv=None):
         agent.policy_fn(), agent.cfg, steps=args.steps,
         gaze_predictor_apply=agent.gaze_predictor_apply,
         use_analytic_gaze=use_analytic,
+        return_frames=args.video,
     )
     roll_batch = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
 
@@ -82,7 +86,7 @@ def main(argv=None):
     batch_specs = jax.tree.map(lambda a: a[spec_idx], specs)
     keys = jax.numpy.stack([jax.random.PRNGKey(s * 100003 + r) for r, s in pairs])
     t0 = time.time()
-    states, _ = roll_batch(batch_specs, agent.params, keys)
+    states, trace = roll_batch(batch_specs, agent.params, keys)
     states = jax.device_get(states)
     wall = time.time() - t0
 
@@ -99,6 +103,12 @@ def main(argv=None):
         )
         write_stats_json(out, rec)
         records.append(rec)
+        if args.video:
+            from ..eval.video import write_mp4
+
+            n = int(one_state.t)
+            frames = np.asarray(jax.device_get(trace[i]))[: max(n, 1)]
+            write_mp4(frames, out / f"route_{r}" / f"seed_{s}" / "rollout.mp4")
         print(f"route {r} seed {s}: score {rec['scores']['score_composed']:.2f} [{rec['status']}]")
 
     agg = aggregate_scores(records)

@@ -49,6 +49,11 @@ class EpisodeStore:
         self.flat_images = None  # invalidate
 
     def finalize(self) -> "EpisodeStore":
+        if self.lazy:
+            if self.lengths is None and self.images:
+                self.lengths = np.asarray([len(x) for x in self.images], np.int64)
+                self.offsets = np.concatenate([[0], np.cumsum(self.lengths)[:-1]]).astype(np.int64)
+            return self
         if self.flat_images is None and self.images:
             self.lengths = np.asarray([len(x) for x in self.images], np.int64)
             self.offsets = np.concatenate([[0], np.cumsum(self.lengths)[:-1]]).astype(np.int64)
@@ -66,21 +71,67 @@ class EpisodeStore:
     def n_demos(self) -> int:
         return len(self.images)
 
+    @property
+    def lazy(self) -> bool:
+        return bool(self.images) and not isinstance(self.images[0], np.ndarray)
+
+
+class _LazyImages:
+    """On-demand image reads from an open HDF5 dataset (robomimic cache
+    mode 'low_dim'/None parity: low-dim streams in RAM, images on disk)."""
+
+    def __init__(self, file, key: str):
+        self._file = file  # keep the h5py.File alive
+        self._ds = file[key]
+        self.shape = self._ds.shape
+        self.dtype = self._ds.dtype
+        self.nbytes = int(np.prod(self.shape)) * self._ds.dtype.itemsize
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        idx = np.asarray(idx)
+        if idx.ndim == 0:
+            return self._ds[int(idx)]
+        # h5py fancy selection needs increasing unique indices; windows are
+        # clamped (duplicated) at episode starts, so read the span and index
+        lo, hi = int(idx.min()), int(idx.max()) + 1
+        return self._ds[lo:hi][idx - lo]
+
 
 def load_hdf5(path: str, gaze_key: str = "gaze_coords", demo_limit: int | None = None,
               cache_images: bool = True) -> EpisodeStore:
-    """Read a robomimic-schema HDF5 into an EpisodeStore."""
+    """Read a robomimic-schema HDF5 into an EpisodeStore.
+
+    cache_images=False keeps image payloads ON DISK and reads windows on
+    demand (SequenceDataset hdf5_cache_mode low_dim/None semantics,
+    robomimic/utils/dataset.py:218-219): gaze/actions load eagerly, images
+    become lazy per-demo views over an open SWMR handle. Lazy stores skip
+    the flat buffers, so batch gathers take the numpy path (no native
+    memcpy) and device-resident training is disabled.
+    """
     import h5py
 
     store = EpisodeStore()
-    with h5py.File(path, "r", swmr=True, libver="latest") as f:
-        demos = sorted(f["data"].keys(), key=lambda s: int(s.split("_")[-1]))
-        if demo_limit is not None:
-            demos = demos[:demo_limit]
-        for name in demos:
-            g = f["data"][name]
-            images = g["obs"]["image"][:] if cache_images else g["obs"]["image"]
-            store.add(np.asarray(images), g["obs"][gaze_key][:], g["actions"][:])
+    if cache_images:
+        with h5py.File(path, "r", swmr=True, libver="latest") as f:
+            demos = sorted(f["data"].keys(), key=lambda s: int(s.split("_")[-1]))
+            if demo_limit is not None:
+                demos = demos[:demo_limit]
+            for name in demos:
+                g = f["data"][name]
+                store.add(np.asarray(g["obs"]["image"][:]), g["obs"][gaze_key][:], g["actions"][:])
+        return store
+    f = h5py.File(path, "r", swmr=True, libver="latest")  # held open by the views
+    demos = sorted(f["data"].keys(), key=lambda s: int(s.split("_")[-1]))
+    if demo_limit is not None:
+        demos = demos[:demo_limit]
+    for name in demos:
+        g = f["data"][name]
+        store.images.append(_LazyImages(f, f"data/{name}/obs/image"))
+        store.gazes.append(np.ascontiguousarray(g["obs"][gaze_key][:], dtype=np.float32))
+        store.actions.append(np.ascontiguousarray(g["actions"][:], dtype=np.float32))
     return store
 
 
@@ -124,7 +175,7 @@ class BCDataset:
             dtype=np.int64,
         )
         self._native = None
-        if use_native:
+        if use_native and not store.lazy:  # lazy stores have no flat buffers
             from .. import native
 
             if native.lib() is not None:

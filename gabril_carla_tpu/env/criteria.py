@@ -69,11 +69,18 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     ego = state.ego
     new_idx, lat = localize_ego(spec, ego.pos, ego.route_idx)
     step_m = ego.speed * C.DT
-    twoways_active = (spec.scenario_type == 2) | (spec.scenario_type == 5) | (spec.scenario_type == 9)
 
-    # --- outside lane: beyond half a lane off the centerline; TwoWays
-    # scenarios legitimately use the opposite lane, so allow one lane left.
-    out_limit = jnp.where(twoways_active, 1.5 * C.LANE_WIDTH, 0.5 * C.LANE_WIDTH + 0.3)
+    # --- outside lane: beyond half a lane off the centerline. TwoWays
+    # scenarios legitimately use the opposite lane, but only inside the
+    # scenario's working window (the reference scopes lane-invasion
+    # forgiveness to the scenario's activation, route_obstacles.py) —
+    # spec.lane_allow is that window in route arclength.
+    s_here = new_idx.astype(jnp.float32)
+    in_allow = (
+        (s_here >= spec.lane_allow[0]) & (s_here <= spec.lane_allow[1])
+        & (spec.lane_allow[1] > spec.lane_allow[0])
+    )
+    out_limit = jnp.where(in_allow, 1.5 * C.LANE_WIDTH, 0.5 * C.LANE_WIDTH + 0.3)
     outside = lat > out_limit
     outside_m = crit.outside_lane_m + jnp.where(outside, step_m, 0.0)
 
@@ -131,6 +138,29 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     # leaving without stopping counts once; latch done so it doesn't re-fire
     stop_done = stop_done | left_zone
 
+    # --- min speed vs ambient traffic, per route-quarter checkpoint
+    # (MinimumSpeedRouteTest with checkpoints=4 on every route,
+    # route_scenario.py:308; value = ego mean / background mean per
+    # checkpoint, each failing checkpoint multiplies the penalty,
+    # atomic_criteria.py:2040-2075 + statistics_manager 'decreases' rule)
+    from .ambient import ambient_speeds
+
+    amb_mean, has_amb = ambient_speeds(state.vehicles)
+    ego_sum = crit.ms_ego_sum + jnp.where(has_amb, ego.speed, 0.0)
+    amb_sum = crit.ms_amb_sum + jnp.where(has_amb, amb_mean, 0.0)
+    ticks = crit.ms_ticks + has_amb.astype(jnp.float32)
+    cur_ck = jnp.clip(
+        (4.0 * s_ego / jnp.maximum(spec.route_len, 1.0)).astype(jnp.int32), 0, 3
+    )
+    fold = cur_ck > crit.ms_ckpt
+    ck_value = jnp.where(ticks > 0, 100.0 * ego_sum / jnp.maximum(amb_sum, 1e-6), 100.0)
+    ck_factor = jnp.where(ck_value < 100.0,
+                          1.0 - (1.0 - C.PENALTY_MIN_SPEED) * (1.0 - ck_value / 100.0), 1.0)
+    ms_penalty = jnp.where(fold, crit.ms_penalty * ck_factor, crit.ms_penalty)
+    ego_sum = jnp.where(fold, 0.0, ego_sum)
+    amb_sum = jnp.where(fold, 0.0, amb_sum)
+    ticks = jnp.where(fold, 0.0, ticks)
+
     crit = crit.replace(
         collisions_vehicle=crit.collisions_vehicle + any_v.astype(jnp.int32),
         collisions_pedestrian=crit.collisions_pedestrian + any_w.astype(jnp.int32),
@@ -139,7 +169,9 @@ def criteria_step(spec, state: SceneState) -> SceneState:
         last_collision_pos=new_last,
         outside_lane_m=outside_m,
         driven_m=crit.driven_m + step_m,
-        speed_sum=crit.speed_sum + ego.speed * C.DT,
+        ms_ego_sum=ego_sum, ms_amb_sum=amb_sum, ms_ticks=ticks,
+        ms_ckpt=jnp.where(fold, cur_ck, crit.ms_ckpt),
+        ms_penalty=ms_penalty,
         red_light=crit.red_light + ran_red.astype(jnp.int32),
         blocked_time=blocked_time,
         blocked=blocked,
@@ -176,15 +208,16 @@ def compute_score(spec, state: SceneState) -> dict:
     # OUTSIDE_ROUTE_LANES: 'increases' with value 0 -> *= (1 - pct_outside/100)
     pct_outside = 100.0 * crit.outside_lane_m / jnp.maximum(crit.driven_m, 1e-3)
     penalty = penalty * (1.0 - jnp.clip(pct_outside, 0.0, 100.0) / 100.0)
-    # MIN_SPEED: 'decreases', per-unit 0.7 -> *= 1 - 0.3*(1 - value/100).
-    # Active on the merger scenarios (MinimumSpeedRouteTest in actor_flow
-    # scenarios): value = ego mean speed as a % of the scenario flow speed.
-    sim_t = jnp.maximum(state.t.astype(jnp.float32) * 0.05, 1e-3)
-    mean_speed = crit.speed_sum / sim_t
-    ref_speed = jnp.maximum(spec.flow_speed[0], 1.0)
-    measured_pct = jnp.clip(100.0 * mean_speed / ref_speed, 0.0, 100.0)
-    min_speed_pct = jnp.where(spec.scenario_type == 7, measured_pct, crit.min_speed_pct)
-    penalty = penalty * (1.0 - (1.0 - C.PENALTY_MIN_SPEED) * (1.0 - min_speed_pct / 100.0))
+    # MIN_SPEED: 'decreases', per-unit 0.7, one event per failing checkpoint
+    # (folded in criteria_step); the last open checkpoint folds here when the
+    # route progressed past 95 % (MinimumSpeedRouteTest.terminate,
+    # atomic_criteria.py:2080-2086).
+    final_value = jnp.where(crit.ms_ticks > 0,
+                            100.0 * crit.ms_ego_sum / jnp.maximum(crit.ms_amb_sum, 1e-6), 100.0)
+    final_factor = jnp.where(
+        (pct > 95.0) & (final_value < 100.0),
+        1.0 - (1.0 - C.PENALTY_MIN_SPEED) * (1.0 - final_value / 100.0), 1.0)
+    penalty = penalty * crit.ms_penalty * final_factor
     score = jnp.maximum(pct * penalty, 0.0)
     return {
         "score_route": pct,
@@ -196,6 +229,7 @@ def compute_score(spec, state: SceneState) -> dict:
         "red_light": crit.red_light,
         "stop_infraction": crit.stop_infraction,
         "outside_route_lanes_pct": pct_outside,
+        "min_speed_penalty": crit.ms_penalty * final_factor,
         "scenario_timeout": state.scenario.timed_out,
         "blocked": crit.blocked,
         "deviated": crit.deviated,

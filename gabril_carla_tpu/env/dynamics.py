@@ -44,7 +44,8 @@ def left_normal(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([d[..., 1], -d[..., 0]], axis=-1)
 
 
-def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, dt: float = C.DT):
+def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, ego_speed=0.0,
+                            dt: float = C.DT):
     """TrafficManager-style lead-vehicle braking for NPCs.
 
     CARLA's TM brakes NPCs for obstacles ahead (SURVEY §2: TrafficManager
@@ -55,11 +56,26 @@ def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, dt: float = C.DT)
     hdg = jnp.stack([jnp.cos(pool.yaw), jnp.sin(pool.yaw)], -1)  # [N, 2]
     # braking-distance-aware lookahead: v^2 / (2 * 4.5) + margin
     look = 4.0 + pool.speed**2 / 9.0  # [N]
-    # vs ego
-    rel_e = ego_pos[None] - pool.pos
-    f_e = jnp.sum(rel_e * hdg, -1)
-    l_e = rel_e[:, 0] * hdg[:, 1] - rel_e[:, 1] * hdg[:, 0]
-    block_e = (f_e > 0.0) & (f_e < look) & (jnp.abs(l_e) < 2.2)
+    # vs ego. Two regimes, mirroring how CARLA's TM negotiates with the hero:
+    #  * ego COMMITTED (moving): NPCs yield early and wide, including against
+    #    the ~1 s-extrapolated ego position — a crossing ego enters an NPC's
+    #    lane late (perpendicular geometry: observed lateral 4.5 m -> 2.9 m
+    #    while range closed 16 m -> 3 m), so NPCs react to where it WILL be.
+    #  * ego waiting/slow: only an imminent overlap brakes the NPC — else
+    #    flows stall next to a yielding ego and the junction deadlocks.
+    ego_fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
+    ego_future = ego_pos + ego_fwd * ego_speed * 0.9
+
+    def blocked_by(p, f_scale, lat):
+        rel_e = p[None] - pool.pos
+        f_e = jnp.sum(rel_e * hdg, -1)
+        l_e = rel_e[:, 0] * hdg[:, 1] - rel_e[:, 1] * hdg[:, 0]
+        return (f_e > 0.0) & (f_e < f_scale * look) & (jnp.abs(l_e) < lat)
+
+    committed = ego_speed > 1.5
+    wide = blocked_by(ego_pos, 1.3, 3.0) | blocked_by(ego_future, 1.3, 3.0)
+    narrow = blocked_by(ego_pos, 1.0, 2.2)
+    block_e = narrow | (wide & committed)
     # vs other NPCs
     rel = pool.pos[None, :, :] - pool.pos[:, None, :]  # [N, N, 2]
     f = jnp.sum(rel * hdg[:, None, :], -1)
@@ -69,7 +85,8 @@ def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, dt: float = C.DT)
     return jnp.where(block_e | block_n, 0.0, jnp.inf)
 
 
-def vehicles_step(pool: ActorPool, spec, ego_pos=None, ego_yaw=None, dt: float = C.DT) -> ActorPool:
+def vehicles_step(pool: ActorPool, spec, ego_pos=None, ego_yaw=None, ego_speed=0.0,
+                  dt: float = C.DT) -> ActorPool:
     """Advance NPC vehicles by mode.
 
     mode 1: advance along an assigned flow polyline (slot k uses flow
@@ -82,9 +99,12 @@ def vehicles_step(pool: ActorPool, spec, ego_pos=None, ego_yaw=None, dt: float =
     speed = jnp.where(pool.alive, pool.speed, 0.0)
     target = pool.target_speed
     if ego_pos is not None:
-        target = jnp.minimum(target, npc_collision_avoidance(pool, ego_pos, ego_yaw, dt))
-    # relax speed toward target (simple first-order longitudinal control)
-    speed = speed + jnp.clip(target - speed, -6.0 * dt, 2.5 * dt)
+        target = jnp.minimum(target, npc_collision_avoidance(pool, ego_pos, ego_yaw, ego_speed, dt))
+    # relax speed toward target (first-order longitudinal control); the
+    # braking bound is emergency-level (~9 m/s^2, a hard stop on dry asphalt)
+    # — at the TM-parity 6 m/s^2 a flow actor braking for a slower crossing
+    # ego in a merging lane still grazes its rear corner
+    speed = speed + jnp.clip(target - speed, -9.0 * dt, 2.5 * dt)
     speed = jnp.where(pool.mode > 0, speed, 0.0)
     new_s = pool.flow_s + pool.direction * speed * dt
 
@@ -95,8 +115,11 @@ def vehicles_step(pool: ActorPool, spec, ego_pos=None, ego_yaw=None, dt: float =
     flen = spec.flow_len[flow_id]
 
     def batched_point(xy, dirs, s, nv):
+        # xy is [N, M, 2]: clip the polyline index against M (axis -2), not
+        # the actor count — clipping against shape[0] pinned every actor past
+        # point N-2 to a linear extrapolation of one early segment
         s = jnp.clip(s, 0.0, nv)
-        i0 = jnp.clip(s.astype(jnp.int32), 0, xy.shape[0] - 2)
+        i0 = jnp.clip(s.astype(jnp.int32), 0, xy.shape[-2] - 2)
         frac = (s - i0.astype(jnp.float32))[..., None]
         idx = i0[..., None, None]
         p0 = jnp.take_along_axis(xy, idx, axis=-2)[..., 0, :]

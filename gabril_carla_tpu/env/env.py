@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as C
+from .ambient import ambient_reset, ambient_step
 from .criteria import completion_pct, criteria_step
 from .dynamics import FLOW0_START, FLOW1_START, ego_step, vehicles_step, walkers_step
 from .scenarios import scenario_step
@@ -83,6 +84,8 @@ class DrivingEnv:
                 ),
             )
 
+        vehicles = ambient_reset(spec, vehicles)
+
         statics = StaticPool(
             pos=jnp.asarray(spec.statics_pos),
             yaw=jnp.asarray(spec.statics_yaw),
@@ -117,9 +120,12 @@ class DrivingEnv:
             key = state.rng
         prev = state
         throttle, steer, brake = decode_action(action7)
+        sub, sub_amb = jax.random.split(sub)
         state = scenario_step(spec, state, sub)
+        state = ambient_step(spec, state, sub_amb)
         state = state.replace(
-            vehicles=vehicles_step(state.vehicles, spec, state.ego.pos, state.ego.yaw),
+            vehicles=vehicles_step(state.vehicles, spec, state.ego.pos, state.ego.yaw,
+                                   state.ego.speed),
             walkers=walkers_step(state.walkers),
             ego=ego_step(state.ego, throttle, steer, brake),
         )

@@ -74,12 +74,15 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
         & (s_ego > blocker_s - 12.0) & (s_ego < blocker_end + 8.0)
     )
 
-    # oncoming traffic in the opposite lane blocks the overtake
+    # oncoming traffic in the opposite lane blocks the overtake. The window
+    # must cover the whole pass: entering with a car 40 m out leaves the ego
+    # stranded head-on mid-pass (a full pass takes ~6 s; closing speed is
+    # ~13 m/s), so look ~80 m ahead before committing.
     onc_s, onc_lat, onc_ok = _route_frame(spec, veh.pos, ego.route_idx)
     oncoming = (
         veh.alive & onc_ok & (veh.speed > 0.5)
         & (onc_lat > 1.2) & (onc_lat < 5.8)
-        & (onc_s > s_ego - 4.0) & (onc_s < s_ego + 38.0)
+        & (onc_s > s_ego - 4.0) & (onc_s < s_ego + 80.0)
     )
     oncoming_busy = jnp.any(oncoming)
     # committed once we're already in the opposite lane: finish the pass
@@ -121,17 +124,36 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     moving_veh = veh.alive & (veh.speed >= 0.5)
     vdir = jnp.stack([jnp.cos(veh.yaw), jnp.sin(veh.yaw)], -1)
     same_dir = (vdir @ heading) > 0.7
-    # same-direction leader: follow at its speed instead of slamming brakes
+    # same-direction leader: gap-keeping follower (match the lead's speed at
+    # ~9 m so the ego keeps pace with ambient traffic — falling behind costs
+    # MIN_SPEED checkpoints, atomic_criteria.py:2040-2075)
     relv = veh.pos - ego.pos[None]
     fv = relv @ heading
     lv = relv @ left
-    lead = moving_veh & same_dir & (fv > 0.0) & (fv < 14.0) & (jnp.abs(lv - target_offset * 0.5) < 2.0)
-    lead_speed = jnp.min(jnp.where(lead, veh.speed, jnp.inf))
-    v_target = jnp.where(jnp.isfinite(lead_speed), jnp.minimum(v_target, jnp.maximum(lead_speed - 1.5, 0.0)), v_target)
-    close_lead = jnp.any(lead & (fv < 7.5))
+    lead = moving_veh & same_dir & (fv > 0.0) & (fv < 20.0) & (jnp.abs(lv - target_offset * 0.5) < 2.0)
+    lead_i = jnp.argmin(jnp.where(lead, fv, jnp.inf))
+    has_lead = jnp.any(lead)
+    follow = jnp.maximum(veh.speed[lead_i] + 0.4 * (fv[lead_i] - 9.0), 0.0)
+    v_target = jnp.where(has_lead, jnp.minimum(v_target, follow), v_target)
+    close_lead = jnp.any(lead & (fv < 6.0))
 
-    # opposing/crossing movers close fast — longer corridor than for statics
-    hazard = corridor_hit(veh.pos, moving_veh & ~same_dir, 2.2, 15.0) | close_lead
+    # opposing/crossing movers close fast — longer corridor than for statics;
+    # kept separate so a committed junction crossing doesn't brake mid-lane
+    # (stopping inside the crossing lane is what gets the ego T-boned).
+    # Oncoming traffic IN the opposite lane is not a crossing hazard while
+    # the ego keeps to its own lane — on curves the heading-based corridor
+    # sweeps across the opposite lane and a false stop at the apex parks the
+    # ego right where the oncoming car's swept path passes (observed on
+    # route 24759).
+    # ... and never for oncoming cars during a committed pass: stopping dead
+    # in the opposite lane turns a near-miss into a head-on (observed on
+    # route 24258); finishing the pass is the only way out, and the NPCs'
+    # committed-ego avoidance brakes them meanwhile.
+    in_opposite_lane = veh.alive & onc_ok & (onc_lat > 1.2) & (onc_lat < 5.8)
+    ego_in_own_lane = jnp.abs(ego_lat) < 1.2
+    cross_threat = moving_veh & ~same_dir & ~(in_opposite_lane & (ego_in_own_lane | do_overtake))
+    cross_hazard = corridor_hit(veh.pos, cross_threat, 2.2, 15.0)
+    hazard = close_lead
     hazard |= corridor_hit(st.pos, st.alive & ~do_overtake, HAZARD_HALF_WIDTH, HAZARD_AHEAD)
     hazard |= corridor_hit(veh.pos, veh.alive & ~moving_veh & ~do_overtake,
                            HAZARD_HALF_WIDTH, HAZARD_AHEAD)
@@ -151,17 +173,30 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     cross_s = (start + cross_off).astype(jnp.float32)
     crosses = spec.flow_enabled[0] & (per_pt[cross_off] < 3.0)
     cross_pt = rwin[cross_off]
-    # gap acceptance: only an IMMINENT crosser blocks (ttc < ~1.1 s) — NPC
-    # collision avoidance (TrafficManager parity) yields to an ego already in
-    # the junction, so assertive entry is both safe and human-like here.
+    # gap acceptance by time-to-arrival: a crosser within ~1.6 s blocks entry;
+    # anything further is a usable gap — NPC collision avoidance
+    # (TrafficManager parity) brakes crossers for an ego already in the
+    # junction, so assertive entry is both safe and human-like. The hold zone
+    # ends 6 m short of the crossing: the ego is ~2.5 m nose-forward of its
+    # center, and parking closer leaves the nose inside the crossing lane
+    # (observed: stationary ego clipped by the flow on route 3099).
     to_cross = cross_pt[None] - veh.pos
     closing_cross = jnp.sum(to_cross * vdir, axis=1)  # + if heading toward it
-    flow_busy = jnp.any(
-        veh.alive & (veh.mode == 1)
-        & (closing_cross > -1.0)
-        & (closing_cross < 0.7 * jnp.maximum(veh.speed, 3.0) + 2.0)
-    )
-    yield_cross = crosses & flow_busy & (s_ego > cross_s - 12.0) & (s_ego < cross_s - 3.0)
+    flow = veh.alive & (veh.mode == 1)
+    imminent = flow & (closing_cross > -1.0) & (closing_cross < 1.2 * jnp.maximum(veh.speed, 3.0))
+    # a SLOW flow actor inside the junction blocks entry (it is recovering
+    # from its own yield and will accelerate); fast ones are handled by the
+    # time-to-arrival gap — treating any occupancy as busy deadlocks on
+    # dense flows (12-25 m gaps keep an 8 m box occupied near-permanently)
+    in_box = flow & (veh.speed < 2.0) & (jnp.linalg.norm(veh.pos - cross_pt[None], axis=1) < 8.0)
+    flow_busy = jnp.any(imminent | in_box)
+    yield_cross = crosses & flow_busy & (s_ego > cross_s - 12.0) & (s_ego < cross_s - 6.0)
+    # once committed, clear the junction briskly (minimum exposure time) and
+    # don't brake for crossers mid-lane — their TrafficManager-parity
+    # collision avoidance yields to a vehicle already in the junction
+    in_junction = crosses & (s_ego >= cross_s - 6.0) & (s_ego <= cross_s + 6.0)
+    v_target = jnp.where(in_junction, jnp.maximum(v_target, CRUISE_SPEED), v_target)
+    hazard = hazard | (cross_hazard & ~in_junction)
 
     # walkers: generous yield box
     relw = wk.pos - ego.pos[None]
@@ -186,7 +221,9 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     hold_light = jnp.any(approaching & (tl_color != GREEN))
 
     brake_on = hazard | yield_cross | yield_walk | must_stop | hold_light | wait_for_gap
-    throttle = jnp.clip(0.5 * (v_target - ego.speed), 0.0, 0.75)
+    # commit hard through a junction crossing: exposure time is the risk
+    throttle_cap = jnp.where(in_junction, 1.0, 0.75)
+    throttle = jnp.clip(0.5 * (v_target - ego.speed), 0.0, throttle_cap)
     throttle = jnp.where(brake_on, 0.0, throttle)
     brake = jnp.where(brake_on, 1.0, 0.0)
     return jnp.stack([throttle, steer, brake, 0.0, 0.0, 0.0, 0.0])

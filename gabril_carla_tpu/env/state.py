@@ -120,11 +120,16 @@ class Criteria:
     # (RunningStopTest is per-sign, atomic_criteria.py:1799)
     outside_lane_m: jnp.ndarray  # f32 meters driven outside lanes
     driven_m: jnp.ndarray  # f32 total meters driven
-    speed_sum: jnp.ndarray  # f32 integrated speed (MinimumSpeedRouteTest)
     blocked_time: jnp.ndarray  # f32 consecutive seconds below BLOCKED_SPEED
     blocked: jnp.ndarray  # bool VEHICLE_BLOCKED fired
     deviated: jnp.ndarray  # bool ROUTE_DEVIATION fired
-    min_speed_pct: jnp.ndarray  # f32 MinimumSpeedRouteTest percentage (100 = ok)
+    # MinimumSpeedRouteTest accumulators (atomic_criteria.py:1957-2090):
+    # ego vs ambient-traffic mean speed, folded per route-quarter checkpoint
+    ms_ego_sum: jnp.ndarray  # f32 integrated ego speed since last checkpoint
+    ms_amb_sum: jnp.ndarray  # f32 integrated ambient mean speed
+    ms_ticks: jnp.ndarray  # f32 ticks with ambient traffic present
+    ms_ckpt: jnp.ndarray  # int32 checkpoints folded so far (0..4)
+    ms_penalty: jnp.ndarray  # f32 multiplicative penalty from folded checkpoints
 
     @staticmethod
     def init() -> "Criteria":
@@ -135,9 +140,10 @@ class Criteria:
             collision_cooldown=f0, last_collision_pos=jnp.full((2,), 1e9),
             red_light=i0, stop_infraction=i0,
             stop_pending=jnp.asarray(False), stop_done=jnp.zeros((C.N_STOPS,), bool),
-            outside_lane_m=f0, driven_m=f0, speed_sum=f0,
+            outside_lane_m=f0, driven_m=f0,
             blocked_time=f0, blocked=jnp.asarray(False), deviated=jnp.asarray(False),
-            min_speed_pct=jnp.asarray(100.0),
+            ms_ego_sum=f0, ms_amb_sum=f0, ms_ticks=f0,
+            ms_ckpt=i0, ms_penalty=jnp.asarray(1.0),
         )
 
 

@@ -48,6 +48,7 @@ SCENARIO_TYPES = {
 
 N_FLOWS = 2  # slot 0: explicit/source flow; slot 1: oncoming ("TwoWays") flow
 N_TRAFFIC_LIGHTS = 4
+N_WEATHER_KEYS = 4  # bench2drive220 routes carry 2 (0% and 100%)
 
 CAR_EXTENT = (2.4, 0.95)
 BIKE_EXTENT = (0.9, 0.4)
@@ -113,6 +114,33 @@ class WorldSpec:
     # atomic_criteria.py:1799 — one latched full stop required per sign)
     stop_s: np.ndarray = field(default_factory=lambda: np.zeros(C.N_STOPS, np.float32))
     n_stop: np.ndarray = field(default_factory=lambda: np.int32(0))
+    # ambient background traffic (BackgroundBehavior-lite, env/ambient.py):
+    # keep-clear windows in route arclength are the mask-update analogue of
+    # the reference's scenario-driven background interventions
+    # (tools/background_manager.py:18-254 — LeaveSpaceInFront, RemoveRoadLane,
+    # HandleJunctionScenario clear_junction/clear_ego_entry)
+    amb_enabled: np.ndarray = field(default_factory=lambda: np.bool_(True))
+    amb_speed: np.ndarray = field(default_factory=lambda: np.float32(7.0))
+    amb_clear: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))  # same-dir [lo, hi)
+    amb_opp_clear: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))  # opposite lane
+    # route-s window where using the opposite lane is legitimate (TwoWays
+    # scenarios invite an overtake around their obstruction; the reference
+    # scopes lane-invasion forgiveness to the scenario's activation window,
+    # route_obstacles.py behaviors — not to the whole route)
+    lane_allow: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))
+    # weather keyframes (RouteWeatherBehavior contract, weather_sim.py:169+:
+    # keyframes at route percentages, linearly interpolated as the ego
+    # advances, clamped at 0/100%). Columns: route_pct, cloudiness,
+    # precipitation, fog_density, sun_altitude_angle, wetness.
+    weather_keys: np.ndarray = field(
+        default_factory=lambda: np.zeros((N_WEATHER_KEYS, 6), np.float32))
+    n_weather: np.ndarray = field(default_factory=lambda: np.int32(0))
+    # per-route-point validity of the opposite lane: offsetting by a lane
+    # width with local normals self-intersects on tight curves (the offset
+    # path cuts the corner INTO the ego lane), so ambient opposite traffic
+    # only runs where the offset point really is a lane away from the route
+    opp_ok: np.ndarray = field(
+        default_factory=lambda: np.ones(C.MAX_ROUTE_POINTS, bool))
 
 
 def _left(d: np.ndarray) -> np.ndarray:
@@ -212,13 +240,21 @@ def parse_routes_xml(path: str, route_ids: list[int] | None = None) -> dict[int,
                     rec[child.tag] = (float(child.get("x")), float(child.get("y")))
             scenarios.append(rec)
         weather = [0.0, 0.0, 0.0, 90.0]
+        weather_keys = []
         wnode = r.find("weathers")
         if wnode is not None and len(wnode):
-            w0 = wnode[0]
-            weather = [float(w0.get("cloudiness", 0)), float(w0.get("precipitation", 0)),
-                       float(w0.get("fog_density", 0)), float(w0.get("sun_altitude_angle", 90))]
+            for w in wnode:
+                weather_keys.append([
+                    float(w.get("route_percentage", 0)),
+                    float(w.get("cloudiness", 0)), float(w.get("precipitation", 0)),
+                    float(w.get("fog_density", 0)), float(w.get("sun_altitude_angle", 90)),
+                    float(w.get("wetness", 0)),
+                ])
+            w0 = weather_keys[0]
+            weather = [w0[1], w0[2], w0[3], w0[4]]
         out[rid] = {"id": rid, "town": r.get("town"), "waypoints": wps,
-                    "scenarios": scenarios, "weather": weather}
+                    "scenarios": scenarios, "weather": weather,
+                    "weather_keys": weather_keys}
     return out
 
 
@@ -274,11 +310,13 @@ def detect_junctions(xy: np.ndarray, dirs: np.ndarray,
     return entries
 
 
-def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec:
+def build_world_spec(route: dict, parked: np.ndarray | None = None,
+                     ambient: bool = True) -> WorldSpec:
     """Compile one parsed route into a WorldSpec.
 
     ``parked``: optional [K, 3] (x, y, yaw) town parked-vehicle slots
     (load_parked_tables); nearby off-lane slots fill statics pool slots 8+.
+    ``ambient``: enable BackgroundBehavior-lite ambient traffic (ambient.py).
     """
     xy = resample_polyline(route["waypoints"], 1.0)
     dirs = _tangents(xy)
@@ -340,10 +378,34 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
         flow_kind[slot] = kind
 
     def oncoming_flow(s_from: float, s_to: float, speed=8.0, gap=(25.0, 50.0)):
-        """Slot-1 flow on the opposite lane, running from s_to down to s_from."""
+        """Slot-1 flow on the opposite lane, running from s_to down to s_from.
+
+        Pointwise lane offsetting cuts corners on curves (the offset point
+        lands inside the ego lane), so the flow is cropped to its longest
+        stretch where the offset really is a lane away from the route —
+        oncoming traffic matters in the overtake window, which the scenarios
+        place on straight road."""
         i0, i1 = int(max(0, s_from)), int(min(n - 1, s_to))
         seg = xy[i0 : i1 + 1] + C.LANE_WIDTH * _left(dirs[i0 : i1 + 1])
-        set_flow(1, seg[::-1], speed, gap)
+        dmin = np.linalg.norm(seg[:, None, :] - xy[None, :, :], axis=-1).min(axis=1)
+        ok = dmin > 0.75 * C.LANE_WIDTH
+        if not ok.any():
+            return
+        # longest contiguous valid run
+        best_a = best_b = a = 0
+        while a < len(ok):
+            if ok[a]:
+                b = a
+                while b < len(ok) and ok[b]:
+                    b += 1
+                if b - a > best_b - best_a:
+                    best_a, best_b = a, b
+                a = b
+            else:
+                a += 1
+        if best_b - best_a < 12:
+            return
+        set_flow(1, seg[best_a:best_b][::-1], speed, gap)
 
     def add_static(i, pos, yaw, extent):
         statics_pos[i], statics_yaw[i], statics_extent[i], statics_alive[i] = pos, yaw, extent, True
@@ -457,6 +519,7 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
     # ---- traffic signals (RunningRedLightTest / RunningStopTest parity,
     # atomic_criteria.py:1620,1799 — the reference checks every signal the
     # ego encounters, not just scenario-owned ones)
+    cross_s = -1.0
     if stype == 4:
         # CrossingBicycleFlow: signalized junction at the flow crossing; ego
         # light red for green_light_delay=5 s, then frozen green
@@ -485,6 +548,55 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
         cycle = C.TL_GREEN_S + C.TL_YELLOW_S + C.TL_RED_S
         tl_offset[n_tl] = float(rng_tl.uniform(0.0, cycle))
         n_tl += 1
+
+    # ---- ambient keep-clear windows (background_manager.py analogues):
+    # same-direction traffic stays out of the scenario's working zone
+    # (LeaveSpaceInFront / clear_ego_entry); the opposite lane is ceded to
+    # the scenario's oncoming flow on TwoWays routes (RemoveRoadLane).
+    s0 = float(scen_aux[0])
+    amb_clear = np.zeros(2, np.float32)
+    amb_opp_clear = np.zeros(2, np.float32)
+    lane_allow = np.zeros(2, np.float32)
+    if stype in (2, 5):  # Accident / VehicleOpensDoor TwoWays
+        amb_clear[:] = (trig_s - 5.0, s0 + 25.0)
+        amb_opp_clear[:] = (trig_s - 15.0, s0 + 70.0)
+        lane_allow[:] = (trig_s - 15.0, s0 + 30.0)
+    elif stype == 9:  # HazardAtSideLaneTwoWays
+        bdist = float(scen_aux[1])
+        amb_clear[:] = (trig_s - 5.0, s0 + bdist + 10.0)
+        amb_opp_clear[:] = (trig_s - 15.0, s0 + bdist + 40.0)
+        lane_allow[:] = (trig_s - 15.0, s0 + bdist + 20.0)
+    elif stype == 1:  # ParkingCutIn: room for the pull-out
+        amb_clear[:] = (trig_s - 5.0, s0 + 35.0)
+    elif stype in (3, 6):  # walker crossings: keep the crossing open
+        amb_clear[:] = (s0 - 20.0, s0 + 15.0)
+    elif stype == 4 and cross_s > 0:  # junction clear (HandleJunctionScenario)
+        amb_clear[:] = (cross_s - 30.0, cross_s + 30.0)
+        amb_opp_clear[:] = (cross_s - 30.0, cross_s + 30.0)
+    elif stype == 7:  # merger: the slow flow owns the merge section
+        amb_clear[:] = (trig_s - 5.0, trig_s + 70.0)
+    elif stype == 8:  # blocked intersection
+        amb_clear[:] = (trig_s - 5.0, s0 + 35.0)
+        amb_opp_clear[:] = (trig_s - 5.0, s0 + 35.0)
+    if n_stop:  # stop-sign junction: keep it open in both directions
+        amb_clear[:] = (trig_s - 15.0, trig_s + 25.0)
+        amb_opp_clear[:] = (trig_s - 15.0, trig_s + 25.0)
+
+    # ---- weather keyframes: pad/clamp to the fixed-slot table; a route
+    # without <weathers> gets one clear-noon row (the legacy default)
+    wk = route.get("weather_keys") or [[0.0] + list(route["weather"]) + [0.0]]
+    wk = sorted(wk, key=lambda r: r[0])[:N_WEATHER_KEYS]
+    weather_keys = np.asarray(_pad(np.asarray(wk, np.float32), N_WEATHER_KEYS))
+    n_weather = len(wk)
+
+    # ---- opposite-lane validity: the left-offset point must be a full lane
+    # from EVERY route point (not just its own) or the lane cuts the corner
+    off_pts = xy + C.LANE_WIDTH * _left(dirs)
+    d_all = np.linalg.norm(off_pts[:, None, :] - xy[None, :, :], axis=-1)  # [n, n]
+    opp_ok_route = d_all.min(axis=1) > 0.75 * C.LANE_WIDTH
+    opp_ok = np.zeros(C.MAX_ROUTE_POINTS, bool)
+    m2 = min(n, C.MAX_ROUTE_POINTS)
+    opp_ok[:m2] = opp_ok_route[:m2]
 
     return WorldSpec(
         route_xy=_pad(xy, m),
@@ -529,6 +641,14 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None) -> WorldSpec
         tl_red_s=tl_red,
         stop_s=stop_s,
         n_stop=np.int32(n_stop),
+        amb_enabled=np.bool_(ambient),
+        amb_speed=np.float32(7.0),
+        amb_clear=amb_clear,
+        amb_opp_clear=amb_opp_clear,
+        lane_allow=lane_allow,
+        weather_keys=weather_keys,
+        n_weather=np.int32(n_weather),
+        opp_ok=opp_ok,
     )
 
 

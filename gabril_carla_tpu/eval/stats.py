@@ -45,7 +45,11 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
     infractions["vehicle_blocked"] = ["Agent got blocked"] if s.get("blocked") else []
     infractions["scenario_timeouts"] = ["Scenario timed out"] if s.get("scenario_timeout") else []
     infractions["yield_emergency_vehicle"] = []
-    infractions["min_speed_infractions"] = []
+    msp = s.get("min_speed_penalty", 1.0)
+    infractions["min_speed_infractions"] = (
+        [f"Average speed below the surrounding traffic's (penalty {msp:.3f})"]
+        if msp < 0.999 else []
+    )
 
     completed = s["score_route"] >= 100.0
     num_inf = sum(len(v) for v in infractions.values())

@@ -64,6 +64,10 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
     rgt_y = cam_ref[5, 0]
     cloud = cam_ref[6, 0]
     start_s = cam_ref[7, 0]
+    precip = cam_ref[8, 0]
+    fog = cam_ref[9, 0]
+    bright = cam_ref[10, 0]
+    wet = cam_ref[11, 0]
 
     dv = jnp.maximum(v - CY, 1e-3)
     z = jnp.clip(CAM_Z * FX / dv, 0.0, MAX_DEPTH)
@@ -99,18 +103,21 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
     _, signed, s_off = jax.lax.fori_loop(0, view, rbody, init)
     near_s = start_s + s_off
 
-    # ---- terrain shading (raster.py contract)
+    # ---- terrain shading (raster.py contract, incl. weather)
     lw = LANE_WIDTH
     on_road = (signed > -0.5 * lw - 0.3) & (signed < 1.5 * lw + 0.3)
     dash = jnp.mod(near_s, 4.0) < 2.0
     center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash
     edge = (jnp.abs(signed + 0.5 * lw) < 0.15) | (jnp.abs(signed - 1.5 * lw) < 0.15)
-    terrain = jnp.where(on_road, ROAD, GRASS)
+    road_col = ROAD * (1.0 - 0.30 * wet)
+    terrain = jnp.where(on_road, road_col, GRASS)
     terrain = jnp.where(center_line | edge, MARK, terrain)
-    fade = jnp.clip(z / MAX_DEPTH, 0.0, 1.0) * 0.25
-    terrain = terrain * (1.0 - fade) + SKY * fade
-
+    vis = MAX_DEPTH * (1.0 - 0.85 * fog)
+    fade_coef = 0.25 + 0.75 * fog
+    fade = jnp.clip(z / vis, 0.0, 1.0) * fade_coef
     sky_col = SKY - 0.15 * cloud
+    terrain = terrain * (1.0 - fade) + sky_col * fade
+
     sky = sky_col + 0.12 * (v / H)
     img = jnp.where(on_ground, terrain, sky)
 
@@ -131,7 +138,10 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
     best_d, best_c = jax.lax.fori_loop(0, n_actors, abody, binit, unroll=True)
     hit = best_d < 1e29
     shade = 1.0 - jnp.clip(best_d / MAX_DEPTH, 0.0, 0.6)
-    img = jnp.where(hit, best_c * shade, img)
+    afog = jnp.clip(best_d / vis, 0.0, 1.0) * (0.8 * fog)
+    img = jnp.where(hit, best_c * shade * (1.0 - afog) + sky_col * afog, img)
+    img = img * (1.0 - 0.2 * precip) + 0.5 * (0.2 * precip)
+    img = img * bright
 
     img_ref[:] = jnp.where(in_frame, jnp.clip(img, 0.0, 1.0), 0.0)
 

@@ -145,6 +145,24 @@ def _collect_actor_boxes(state, cam, fwd, right):
 COL_POLE, COL_LAMP_ON, COL_LAMP_OFF, COL_STOP_SIGN = 0.30, 0.95, 0.12, 0.92
 
 
+def weather_now(spec, state) -> jnp.ndarray:
+    """Interpolated (cloud01, precip01, fog01, sun_bright, wet01) at the
+    ego's route percentage.
+
+    RouteWeatherBehavior contract (weather_sim.py:169+): keyframes at route
+    percentages, linearly interpolated as the ego advances, clamped to the
+    first/last keyframe outside their range. sun_bright maps the sun
+    altitude angle to a global illumination factor (night routes carry
+    sun_altitude_angle=-90 in bench2drive220.xml).
+    """
+    pct = 100.0 * state.ego.route_idx.astype(jnp.float32) / jnp.maximum(spec.route_len, 1.0)
+    keys = spec.weather_keys  # [K, 6] pct, cloud, precip, fog, sun, wet
+    vals = jax.vmap(lambda col: jnp.interp(pct, keys[:, 0], col), in_axes=1)(keys[:, 1:])
+    cloud, precip, fog, sun, wet = vals[0], vals[1], vals[2], vals[3], vals[4]
+    bright = 0.35 + 0.65 * jnp.clip((sun + 10.0) / 70.0, 0.0, 1.0)
+    return jnp.stack([cloud / 100.0, precip / 100.0, fog / 100.0, bright, wet / 100.0])
+
+
 def _signal_boxes(spec, state, cam, fwd, right) -> jnp.ndarray:
     """Traffic lights + stop signs as screen boxes [K, 8].
 
@@ -212,6 +230,7 @@ def render_frame(spec, state) -> jnp.ndarray:
     boxes = jnp.concatenate(
         [_collect_actor_boxes(state, cam, fwd, right), _signal_boxes(spec, state, cam, fwd, right)]
     )
+    weather = weather_now(spec, state)
 
     if jax.default_backend() == "tpu":
         from .pallas_raster import render_frame_pallas
@@ -225,16 +244,18 @@ def render_frame(spec, state) -> jnp.ndarray:
         )
         cam_scalars = jnp.concatenate(
             [cam, fwd, right,
-             jnp.stack([spec.weather[0] / 100.0, start.astype(jnp.float32)]),
-             jnp.zeros(8)]
+             jnp.stack([weather[0], start.astype(jnp.float32)]),
+             weather[1:],  # precip01, fog01, sun_bright, wet01
+             jnp.zeros(4)]
         )
         return render_frame_pallas(cam_scalars, route_cols, boxes, ROUTE_VIEW, boxes.shape[0])
 
-    return _render_frame_xla(spec, state, cam, fwd, right, boxes)
+    return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather)
 
 
-def _render_frame_xla(spec, state, cam, fwd, right, boxes) -> jnp.ndarray:
+def _render_frame_xla(spec, state, cam, fwd, right, boxes, weather) -> jnp.ndarray:
     ego = state.ego
+    cloud, precip, fog, bright, wet = weather[0], weather[1], weather[2], weather[3], weather[4]
     ground, depth_map, on_ground = _ground_points(cam, fwd, right)
 
     signed, near_s = _route_distance_field(spec, ground.reshape(-1, 2), ego.route_idx)
@@ -249,14 +270,17 @@ def _render_frame_xla(spec, state, cam, fwd, right, boxes) -> jnp.ndarray:
     center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash
     edge_r = jnp.abs(signed + 0.5 * lw) < 0.15
     edge_l = jnp.abs(signed - 1.5 * lw) < 0.15
-    terrain = jnp.where(on_road, ROAD, GRASS)
+    road_col = ROAD * (1.0 - 0.30 * wet)  # wet asphalt darkens
+    terrain = jnp.where(on_road, road_col, GRASS)
     terrain = jnp.where(center_line | edge_r | edge_l, MARK, terrain)
-    # distance haze
-    fade = jnp.clip(depth_map / MAX_DEPTH, 0.0, 1.0) * 0.25
-    terrain = terrain * (1 - fade) + SKY * fade
-
-    cloud = spec.weather[0] / 100.0
+    # distance haze -> fog: visibility shrinks and the blend strengthens
+    # with fog density (clear weather reproduces the original 0.25 haze)
+    vis = MAX_DEPTH * (1.0 - 0.85 * fog)
+    fade_coef = 0.25 + 0.75 * fog
+    fade = jnp.clip(depth_map / vis, 0.0, 1.0) * fade_coef
     sky_col = SKY - 0.15 * cloud
+    terrain = terrain * (1 - fade) + sky_col * fade
+
     v_grad = (jnp.arange(H, dtype=jnp.float32) / H)[:, None]
     sky = sky_col + 0.12 * v_grad
     img = jnp.where(on_ground, terrain, sky)
@@ -277,7 +301,11 @@ def _render_frame_xla(spec, state, cam, fwd, right, boxes) -> jnp.ndarray:
     best_depth = jnp.min(pix_depth, axis=0)
     hit = jnp.isfinite(best_depth)
     shade = 1.0 - jnp.clip(best_depth / MAX_DEPTH, 0.0, 0.6)
-    img = jnp.where(hit, cols[best] * shade, img)
+    afog = jnp.clip(best_depth / vis, 0.0, 1.0) * (0.8 * fog)  # actors fade into fog
+    img = jnp.where(hit, cols[best] * shade * (1 - afog) + sky_col * afog, img)
+    # rain flattens contrast; sun altitude scales global illumination
+    img = img * (1.0 - 0.2 * precip) + 0.5 * (0.2 * precip)
+    img = img * bright
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -47,8 +47,9 @@ class Trainer:
         if dd == "auto":
             n_bytes = sum(x.nbytes for x in dataset.store.images)
             # single-device only for now (sharded device-resident data would
-            # need per-shard sampling); the streamed path covers meshes
-            dd = len(jax.devices()) == 1 and n_bytes < 6e9
+            # need per-shard sampling); the streamed path covers meshes;
+            # lazy (disk-backed) stores stream by construction
+            dd = len(jax.devices()) == 1 and n_bytes < 6e9 and not dataset.store.lazy
         self.device_mode = bool(dd)
 
         self.logger = ExperimentLogger(cfg)

@@ -75,3 +75,33 @@ def test_converter_episode_tree(tmp_path):
     store = load_hdf5(str(out), gaze_key="gaze_coords_gaze")
     assert store.images[0].shape == (5, 8, 10, 3)
     assert store.gazes[0].shape == (5, 10)
+
+
+def test_lazy_hdf5_matches_eager(tmp_path):
+    """cache_images=False keeps images on disk (robomimic low_dim/None cache
+    parity) and batches match the eager store exactly."""
+    import h5py
+
+    store = synthetic_episodes(n_demos=3, steps=9, img_hw=(8, 10), max_points=2, seed=2)
+    path = tmp_path / "lazy.hdf5"
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        for i in range(3):
+            g = data.create_group(f"demo_{i}")
+            og = g.create_group("obs")
+            og.create_dataset("image", data=store.images[i])
+            og.create_dataset("gaze_coords", data=store.gazes[i])
+            g.create_dataset("actions", data=store.actions[i])
+
+    eager = load_hdf5(str(path))
+    lazy = load_hdf5(str(path), cache_images=False)
+    assert not eager.lazy and lazy.lazy
+    assert lazy.flat_images is None  # images really did stay on disk
+
+    ds_e = BCDataset(eager, frame_stack=3)
+    ds_l = BCDataset(lazy, frame_stack=3)
+    assert ds_l._native is None  # lazy path cannot use the flat-buffer gather
+    idxs = np.asarray([0, 1, 8, 9, 20, 26])
+    be, bl = ds_e.sample(idxs), ds_l.sample(idxs)
+    for k in be:
+        np.testing.assert_array_equal(be[k], bl[k])

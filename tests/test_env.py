@@ -19,6 +19,11 @@ def straight_route(length=200, scenario="None", extra=None):
             "weather": [0, 0, 0, 90]}
 
 
+def sterile(route):
+    """Spec without ambient traffic (tests that need an empty road)."""
+    return jax.tree.map(jnp.asarray, build_world_spec(route, ambient=False))
+
+
 FULL_THROTTLE = jnp.asarray([1.0, 0.0, 0.0, 0, 0, 0, 0.0])
 BRAKE = jnp.asarray([0.0, 0.0, 1.0, 0, 0, 0, 0.0])
 
@@ -36,7 +41,7 @@ def rollout(spec, policy_action, steps=400):
 
 
 def test_drive_straight_completes_route():
-    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    spec = sterile(straight_route(140))
     state = rollout(spec, FULL_THROTTLE, steps=600)
     pct = float(completion_pct(spec, state))
     assert pct == 100.0
@@ -111,7 +116,7 @@ def _with_light(spec, stop_s, green_s, yellow_s, red_s, offset):
 def test_red_light_infraction_end_to_end():
     """A brakeless policy crossing the stop line on red incurs the 0.7
     penalty (RunningRedLightTest, atomic_criteria.py:1620)."""
-    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    spec = sterile(straight_route(140))
     # red from t=0 for 120 s: green 1 s, yellow 0, red 120, offset 1
     spec = _with_light(spec, 60.0, 1.0, 0.0, 120.0, 1.0)
     state = rollout(spec, FULL_THROTTLE, steps=600)
@@ -126,7 +131,7 @@ def test_expert_waits_for_green():
     green — no infraction, full completion."""
     from gabril_carla_tpu.env.expert import expert_action
 
-    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    spec = sterile(straight_route(140))
     # red for the first 20 s, then green for 1000 s
     spec = _with_light(spec, 60.0, 1000.0, 0.0, 20.0, 1000.0)
     env = DrivingEnv()
@@ -148,8 +153,7 @@ def test_expert_waits_for_green():
 def test_stop_sign_infraction_end_to_end():
     """Blowing through a stop-sign zone costs the 0.8 penalty once
     (RunningStopTest, atomic_criteria.py:1799)."""
-    spec = jax.tree.map(jnp.asarray, build_world_spec(
-        straight_route(140, scenario="VanillaNonSignalizedTurnEncounterStopsign")))
+    spec = sterile(straight_route(140, scenario="VanillaNonSignalizedTurnEncounterStopsign"))
     assert int(spec.n_stop) == 1
     state = rollout(spec, FULL_THROTTLE, steps=600)
     score = compute_score(spec, state)
@@ -179,7 +183,7 @@ def test_traffic_light_renders_lamps():
     """The signal head renders: a bright lamp appears when approaching."""
     from gabril_carla_tpu.ops.raster import render_frame
 
-    spec = jax.tree.map(jnp.asarray, build_world_spec(straight_route(140)))
+    spec = sterile(straight_route(140))
     spec = _with_light(spec, 40.0, 1.0, 0.0, 120.0, 1.0)  # red ahead
     env = DrivingEnv()
     state = env.reset(spec, jax.random.PRNGKey(0))
@@ -195,3 +199,32 @@ def test_traffic_light_renders_lamps():
     assert (diff[:90] > 0.05).sum() >= 4
     # and the brightest changed pixel is the lit lamp (brighter than the pole)
     assert img[:90][diff[:90] > 0.05].max() > 0.7
+
+
+def test_lane_follow_tracks_polyline_beyond_pool_size():
+    """Regression: batched_point clipped the polyline index against the
+    ACTOR count (shape[0] of the [N, M, 2] batch), pinning every actor past
+    arclength N-2 onto a linear extrapolation of one early segment — wrong
+    position and heading on every curved route."""
+    from gabril_carla_tpu.env import constants as C
+    from gabril_carla_tpu.env.dynamics import vehicles_step
+    from gabril_carla_tpu.env.state import ActorPool
+
+    # a 90-degree arc so extrapolation diverges hard from the true polyline
+    t = np.linspace(0, np.pi / 2, 60)
+    wps = np.stack([80 * np.sin(t), 80 * (1 - np.cos(t))], 1).astype(np.float32)
+    spec = sterile({"id": 1, "town": "T", "waypoints": wps,
+                    "scenarios": [{"type": "None", "trigger": (1.0, 0.0, 0.0)}],
+                    "weather": [0, 0, 0, 90]})
+    pool = ActorPool.empty()
+    s_far = float(C.N_VEHICLES) + 30.0  # beyond the old (wrong) clip bound
+    pool = pool.replace(
+        mode=pool.mode.at[0].set(2), alive=pool.alive.at[0].set(True),
+        flow_s=pool.flow_s.at[0].set(s_far),
+        lane_offset=pool.lane_offset.at[0].set(0.0),
+        direction=pool.direction.at[0].set(1.0),
+    )
+    out = vehicles_step(pool, spec)
+    i = int(s_far)
+    expected = np.asarray(spec.route_xy[i])
+    assert np.linalg.norm(np.asarray(out.pos[0]) - expected) < 1.5

@@ -23,12 +23,15 @@ def run(spec, steps=1200, key=0):
 
 
 def world(scenario="None", length=160, extra=None, trigger=(40.0, 0.0, 0.0)):
+    """Sterile (no ambient traffic) worlds: these tests isolate scenario
+    behaviors; expert-in-traffic behavior is covered by test_ambient.py."""
     wps = np.stack([np.arange(0.0, length, 2.0), np.zeros(length // 2)], 1).astype(np.float32)
     scen = {"type": scenario, "trigger": trigger}
     if extra:
         scen.update(extra)
     return jax.tree.map(jnp.asarray, build_world_spec(
-        {"id": 1, "town": "T", "waypoints": wps, "scenarios": [scen], "weather": [0, 0, 0, 90]}))
+        {"id": 1, "town": "T", "waypoints": wps, "scenarios": [scen], "weather": [0, 0, 0, 90]},
+        ambient=False))
 
 
 def test_expert_completes_clean_route():

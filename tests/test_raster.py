@@ -35,11 +35,16 @@ def test_render_frame_structure():
 
 def test_pallas_kernel_matches_xla_oracle():
     spec, st = scene()
+    _assert_kernel_matches_oracle(spec, st)
+
+
+def _assert_kernel_matches_oracle(spec, st):
     cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
     boxes = jnp.concatenate(
         [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
     )
-    oracle = np.asarray(R._render_frame_xla(spec, st, cam, fwd, right, boxes))
+    weather = R.weather_now(spec, st)
+    oracle = np.asarray(R._render_frame_xla(spec, st, cam, fwd, right, boxes, weather))
 
     from gabril_carla_tpu.ops.pallas_raster import render_frame_pallas
 
@@ -49,7 +54,8 @@ def test_pallas_kernel_matches_xla_oracle():
     valid = ((start + jnp.arange(R.ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
     route_cols = jnp.concatenate([q, qd, valid[:, None], jnp.zeros((R.ROUTE_VIEW, 3))], axis=1)
     cam_scalars = jnp.concatenate(
-        [cam, fwd, right, jnp.stack([spec.weather[0] / 100.0, start.astype(jnp.float32)]), jnp.zeros(8)]
+        [cam, fwd, right, jnp.stack([weather[0], start.astype(jnp.float32)]),
+         weather[1:], jnp.zeros(4)]
     )
     img = np.asarray(
         render_frame_pallas(cam_scalars, route_cols, boxes, R.ROUTE_VIEW, boxes.shape[0], interpret=True)
@@ -58,6 +64,54 @@ def test_pallas_kernel_matches_xla_oracle():
     # tie-breaking at dash/edge boundaries flips a handful of pixels
     assert (d > 1e-3).mean() < 0.01
     assert np.median(d) < 1e-5
+
+
+def _weather_spec(spec, cloud, precip, fog, sun, wet):
+    keys = np.zeros((spec.weather_keys.shape[0], 6), np.float32)
+    keys[:, 0] = 100.0
+    keys[0] = [0.0, cloud, precip, fog, sun, wet]
+    keys[1] = [100.0, cloud, precip, fog, sun, wet]
+    return spec.replace(weather_keys=jnp.asarray(keys), n_weather=jnp.asarray(2, jnp.int32))
+
+
+def test_pallas_kernel_weather_parity():
+    """Kernel parity holds on a foggy rainy night frame (weather math is
+    replicated in both paths)."""
+    spec, st = scene()
+    spec = _weather_spec(spec, cloud=80.0, precip=70.0, fog=60.0, sun=-30.0, wet=90.0)
+    _assert_kernel_matches_oracle(spec, st)
+
+
+def test_weather_effects_visible():
+    """Fog shortens visibility, night dims everything (weather_sim parity)."""
+    spec, st = scene()
+    clear = np.asarray(R.render_frame(_weather_spec(spec, 0, 0, 0, 90, 0), st))
+    foggy = np.asarray(R.render_frame(_weather_spec(spec, 0, 0, 100, 90, 0), st))
+    night = np.asarray(R.render_frame(_weather_spec(spec, 0, 0, 0, -90, 0), st))
+    assert night.mean() < clear.mean() - 0.2
+    # fog: distant rows (just below horizon) converge to the sky color
+    horizon_band = slice(91, 100)
+    assert foggy[horizon_band].std() < clear[horizon_band].std()
+
+
+def test_weather_keyframe_interpolation():
+    """RouteWeatherBehavior: weather interpolates between route-% keyframes
+    (weather_sim.py:169+)."""
+    spec, st = scene()
+    keys = np.zeros((spec.weather_keys.shape[0], 6), np.float32)
+    keys[0] = [0.0, 0, 0, 0, 90, 0]
+    keys[1] = [100.0, 100, 0, 100, 90, 0]
+    keys[2:] = keys[1]
+    spec = spec.replace(weather_keys=jnp.asarray(keys), n_weather=jnp.asarray(2, jnp.int32))
+    # ego halfway down the route
+    halfway = st.replace(ego=st.ego.replace(
+        route_idx=jnp.asarray(int(spec.route_len) // 2, jnp.int32)))
+    w = np.asarray(R.weather_now(spec, halfway))
+    assert abs(w[0] - 0.5) < 0.02  # cloud01 ~ 0.5
+    assert abs(w[2] - 0.5) < 0.02  # fog01 ~ 0.5
+    w0 = np.asarray(R.weather_now(spec, st.replace(ego=st.ego.replace(
+        route_idx=jnp.asarray(0, jnp.int32)))))
+    assert w0[2] < 0.01
 
 
 def test_analytic_gaze_points_valid():
