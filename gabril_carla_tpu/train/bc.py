@@ -290,16 +290,23 @@ def bc_loss_fn(params, models: BCModels, cfg, batch, key: jax.Array, train: bool
     return total, metrics
 
 
-def make_bc_train_step(models: BCModels, cfg, donate: bool = True, jit: bool = True):
+def make_bc_train_step(models: BCModels, cfg, donate: bool = True, jit: bool = True,
+                       axis_name: str | None = None):
     """(state, batch, rng) -> (state, metrics). Grads psum over 'data'
     happen implicitly via jit + sharded batch inputs. ``jit=False`` returns
-    the raw step for embedding in a larger jitted graph (whole-epoch scan)."""
+    the raw step for embedding in a larger jitted graph (whole-epoch scan).
+    ``axis_name`` inserts an explicit grad/metric pmean for use inside
+    shard_map, where reductions are shard-local (the DDP allreduce analogue,
+    reference train/common/distributed.py:30-32)."""
 
     def step(state: TrainState, batch, rng: jax.Array):
         def loss_fn(p):
             return bc_loss_fn(p, models, cfg, batch, rng, train=True)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 

@@ -64,12 +64,16 @@ def gaze_loss_fn(params, model: AutoEncoder, heatmapper: GazeHeatmapper, cfg, ba
 
 
 def make_gaze_train_step(model: AutoEncoder, heatmapper: GazeHeatmapper, cfg,
-                         donate: bool = True, jit: bool = True):
+                         donate: bool = True, jit: bool = True,
+                         axis_name: str | None = None):
     def step(state: TrainState, batch, rng: jax.Array):
         del rng
         (_, metrics), grads = jax.value_and_grad(
             lambda p: gaze_loss_fn(p, model, heatmapper, cfg, batch), has_aux=True
         )(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         return state.apply_gradients(grads=grads), metrics
 
     if not jit:

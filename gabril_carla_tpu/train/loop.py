@@ -43,33 +43,53 @@ class Trainer:
         # device-resident data: park the whole dataset in HBM and run each
         # epoch as one jitted scan (no per-step host->device traffic). Auto
         # on single-process runs when the dataset fits comfortably.
+        n_data = self.mesh.shape["data"]
+        # sharding assigns whole episodes to shards, so it needs >= one
+        # episode per 'data' device; otherwise fall back to the replicated
+        # single-device fast path
+        can_shard = n_data > 1 and dataset.store.n_demos >= n_data
         dd = cfg.get_path("training.device_data", "auto")
         if dd == "auto":
             n_bytes = sum(x.nbytes for x in dataset.store.images)
-            # single-device only for now (sharded device-resident data would
-            # need per-shard sampling); the streamed path covers meshes;
-            # lazy (disk-backed) stores stream by construction
-            dd = len(jax.devices()) == 1 and n_bytes < 6e9 and not dataset.store.lazy
+            # fits when each 'data' shard holds < 6 GB of HBM; lazy
+            # (disk-backed) stores stream by construction
+            per_shard = n_bytes / (n_data if can_shard else 1)
+            dd = per_shard < 6e9 and not dataset.store.lazy
         self.device_mode = bool(dd)
+        self._sharded_device = self.device_mode and can_shard and not dataset.store.lazy
+        axis = "data" if self._sharded_device else None
 
         self.logger = ExperimentLogger(cfg)
         jit_step = not self.device_mode
         if mode == "bc":
             self.models, self.state = init_bc_state(cfg, rng, tx)
-            self.step_fn = make_bc_train_step(self.models, cfg, donate=donate, jit=jit_step)
+            self.step_fn = make_bc_train_step(self.models, cfg, donate=donate, jit=jit_step,
+                                              axis_name=axis)
             self._maybe_load_vqvae()
         elif mode == "gaze":
             (self.model, self.heatmapper), self.state = init_gaze_state(cfg, rng, tx)
             self.step_fn = make_gaze_train_step(self.model, self.heatmapper, cfg,
-                                                donate=donate, jit=jit_step)
+                                                donate=donate, jit=jit_step, axis_name=axis)
         elif mode == "vqvae":
             (self.models, self.heatmapper), self.state = init_vqvae_state(cfg, rng, tx)
             self.step_fn = make_vqvae_train_step(self.models, self.heatmapper, cfg,
-                                                 donate=donate, jit=jit_step)
+                                                 donate=donate, jit=jit_step, axis_name=axis)
         else:
             raise ValueError(f"unknown mode {mode}")
 
-        if self.device_mode:
+        if self._sharded_device:
+            from ..parallel.mesh import replicated_sharding
+            from .device_data import ShardedDeviceData, make_sharded_epoch_fn
+
+            self._local_bs = max(1, bs // n_data)
+            self.device_data = ShardedDeviceData(dataset.store, cfg.data["frame_stack"],
+                                                 self.mesh,
+                                                 grayscale_store=cfg.model["grayscale"])
+            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+            self.epoch_fn = make_sharded_epoch_fn(self.device_data, self.step_fn,
+                                                  self.steps_per_epoch, self._local_bs,
+                                                  self.mesh)
+        elif self.device_mode:
             from .device_data import DeviceData, make_epoch_fn
 
             self.device_data = DeviceData(dataset.store, cfg.data["frame_stack"],
@@ -90,7 +110,11 @@ class Trainer:
         for epoch in range(epochs):
             if self.device_mode:
                 with self.timer.stage("epoch"):
-                    perm = jnp.asarray(self._rng.permutation(self.device_data.n_samples))
+                    if self._sharded_device:
+                        perm = jnp.asarray(self.device_data.epoch_perm(
+                            self._rng, self.steps_per_epoch, self._local_bs))
+                    else:
+                        perm = jnp.asarray(self._rng.permutation(self.device_data.n_samples))
                     self._step_key, sub = jax.random.split(self._step_key)
                     self.state, metrics = self.epoch_fn(self.state, perm, sub)
                     avg = {k: float(jax.device_get(v)) for k, v in metrics.items()}

@@ -45,7 +45,8 @@ def init_vqvae_state(cfg, rng: jax.Array, tx):
     return ((enc, dec, vq), heatmapper), TrainState.create(apply_fn=None, params=params, tx=tx)
 
 
-def make_vqvae_train_step(models, heatmapper, cfg, donate: bool = True, jit: bool = True):
+def make_vqvae_train_step(models, heatmapper, cfg, donate: bool = True, jit: bool = True,
+                          axis_name: str | None = None):
     enc, dec, vq = models
 
     def loss_fn(params, batch):
@@ -66,6 +67,9 @@ def make_vqvae_train_step(models, heatmapper, cfg, donate: bool = True, jit: boo
     def step(state: TrainState, batch, rng):
         del rng
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         return state.apply_gradients(grads=grads), metrics
 
     if not jit:

@@ -43,6 +43,51 @@ def test_device_mode_trains():
     assert np.isfinite(metrics["loss"])
 
 
+def test_sharded_device_mode_trains_and_replicates():
+    """8-way sharded device-resident epoch: loss finite + decreasing, params
+    stay bitwise replicated across shards (pmean = the DDP allreduce)."""
+    from gabril_carla_tpu.parallel import make_mesh
+
+    store = synthetic_episodes(n_demos=10, steps=24, img_hw=(24, 48), max_points=3)
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    cfg = cfg_small(True)
+    cfg["training"]["epochs"] = 3
+    tr = Trainer(cfg, BCDataset(store, frame_stack=2), mode="bc", mesh=mesh)
+    assert tr.device_mode and tr._sharded_device
+    metrics = tr.train()
+    assert np.isfinite(metrics["loss"])
+    # every shard of every param must hold the same replicated values
+    p = jax.tree.leaves(tr.state.params)[0]
+    shards = [np.asarray(s.data) for s in p.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_sharded_gather_covers_all_episodes():
+    """Episode partition preserves every frame and keeps windows shard-local."""
+    from gabril_carla_tpu.parallel import make_mesh
+    from gabril_carla_tpu.train.device_data import ShardedDeviceData
+
+    store = synthetic_episodes(n_demos=5, steps=11, img_hw=(24, 48), max_points=3, seed=3)
+    mesh = make_mesh(jax.devices()[:4], data=4, model=1)
+    sdd = ShardedDeviceData(store, frame_stack=2, mesh=mesh, grayscale_store=False)
+    assert sdd.n_samples == sum(len(x) for x in store.images)
+    imgs = np.asarray(sdd.images)
+    # every original frame appears in some shard
+    total = sum(int(n) for n in sdd.n_local)
+    assert total == sdd.n_samples
+    # window indices stay inside the valid local range of their shard
+    win = np.asarray(sdd.win_idx)
+    for d in range(4):
+        n = int(sdd.n_local[d])
+        assert win[d, :n].max() < n
+        # local frames match the original episode content
+        flat = np.concatenate([store.images[e] for e in range(5)])
+        for row in range(n):
+            frame = imgs[d, row]
+            assert (flat == frame).all(axis=(1, 2, 3)).any()
+
+
 def test_full_state_checkpoint_resume():
     store = synthetic_episodes(n_demos=2, steps=16, img_hw=(24, 48), max_points=3)
     tr = Trainer(cfg_small(False), BCDataset(store, frame_stack=2), mode="bc")
