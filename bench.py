@@ -33,7 +33,7 @@ def main() -> int:
     from gabril_carla_tpu.train.bc import build_bc_models, init_bc_params, make_bc_policy_fn
     from gabril_carla_tpu.utils import default_bc_config
 
-    n_worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n_worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
     cfg = default_bc_config()

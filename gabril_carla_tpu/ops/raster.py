@@ -218,6 +218,59 @@ def _signal_boxes(spec, state, cam, fwd, right) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)
 
 
+K_BOX = 32  # kernel composite loop bound: K nearest visible boxes survive
+
+
+def _compact_boxes(boxes):
+    """Keep the K_BOX nearest on-screen valid boxes (static shape).
+
+    The pools are capacity-padded for vmap (~74 slots, typically <25 alive);
+    the kernel's composite loop is unrolled over the box list, so pruning
+    dead/off-screen slots cuts its cost ~2.3x. Min-depth compositing is
+    order-independent, so dropping occluded boxes past K is lossless until
+    >K_BOX boxes genuinely overlap the frustum.
+    """
+    onscreen = (boxes[:, 1] >= 0) & (boxes[:, 0] <= W - 1) & (boxes[:, 3] >= 0) & (boxes[:, 2] <= H - 1)
+    ok = (boxes[:, 6] > 0.5) & onscreen
+    key = jnp.where(ok, boxes[:, 4], jnp.inf)
+    k = min(K_BOX, boxes.shape[0])
+    _, order = jax.lax.top_k(-key, k)
+    out = boxes[order]
+    valid = (out[:, 4] < 1e29) & (out[:, 6] > 0.5)
+    return out.at[:, 6].set(valid.astype(jnp.float32))
+
+
+def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
+    """Assemble the kernel operands: hoisted route quadratic + compact boxes.
+
+    The route-distance argmin inside the kernel compares
+    t = |g|^2 - 2 g.q + |q|^2 (minus the constant |g|^2) — per-point scalars
+    c1=-2qx, c2=-2qy, c3=|q|^2(+invalid bias) are precomputed here, along
+    with the direction (dx, dy) and e3 = dx*qy - dy*qx so the signed lateral
+    distance is a single post-loop FMA. All coordinates are CAMERA-RELATIVE:
+    world-absolute magnitudes (~1e3) would cancel the ~m^2 argmin contrasts
+    out of f32.
+    """
+    ego = state.ego
+    start = jnp.clip(ego.route_idx - ROUTE_BEHIND, 0, spec.route_xy.shape[0] - ROUTE_VIEW)
+    q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_VIEW, 2)) - cam[None]
+    qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
+    valid = ((start + jnp.arange(ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
+    c3 = jnp.sum(q * q, axis=1) + (1.0 - valid) * 1e12
+    e3 = qd[:, 0] * q[:, 1] - qd[:, 1] * q[:, 0]
+    route_cols = jnp.stack(
+        [-2.0 * q[:, 0], -2.0 * q[:, 1], c3, qd[:, 0], qd[:, 1], e3,
+         jnp.zeros(ROUTE_VIEW), jnp.zeros(ROUTE_VIEW)], axis=1
+    )
+    cam_scalars = jnp.concatenate(
+        [fwd, right,
+         jnp.stack([weather[0], start.astype(jnp.float32)]),
+         weather[1:],  # precip01, fog01, sun_bright, wet01
+         jnp.zeros(6)]
+    )
+    return cam_scalars, route_cols, _compact_boxes(boxes)
+
+
 def render_frame(spec, state) -> jnp.ndarray:
     """Grayscale [H, W] frame in [0, 1] from the ego camera.
 
@@ -235,20 +288,10 @@ def render_frame(spec, state) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         from .pallas_raster import render_frame_pallas
 
-        start = jnp.clip(ego.route_idx - ROUTE_BEHIND, 0, spec.route_xy.shape[0] - ROUTE_VIEW)
-        q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_VIEW, 2))
-        qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
-        valid = ((start + jnp.arange(ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
-        route_cols = jnp.concatenate(
-            [q, qd, valid[:, None], jnp.zeros((ROUTE_VIEW, 3))], axis=1
-        )
-        cam_scalars = jnp.concatenate(
-            [cam, fwd, right,
-             jnp.stack([weather[0], start.astype(jnp.float32)]),
-             weather[1:],  # precip01, fog01, sun_bright, wet01
-             jnp.zeros(4)]
-        )
-        return render_frame_pallas(cam_scalars, route_cols, boxes, ROUTE_VIEW, boxes.shape[0])
+        cam_scalars, route_cols, cboxes = _pallas_inputs(spec, state, cam, fwd, right,
+                                                         boxes, weather)
+        return render_frame_pallas(cam_scalars, route_cols, cboxes, ROUTE_VIEW,
+                                   cboxes.shape[0])
 
     return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather)
 

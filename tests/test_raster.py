@@ -48,17 +48,9 @@ def _assert_kernel_matches_oracle(spec, st):
 
     from gabril_carla_tpu.ops.pallas_raster import render_frame_pallas
 
-    start = jnp.clip(st.ego.route_idx - R.ROUTE_BEHIND, 0, spec.route_xy.shape[0] - R.ROUTE_VIEW)
-    q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (R.ROUTE_VIEW, 2))
-    qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (R.ROUTE_VIEW, 2))
-    valid = ((start + jnp.arange(R.ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
-    route_cols = jnp.concatenate([q, qd, valid[:, None], jnp.zeros((R.ROUTE_VIEW, 3))], axis=1)
-    cam_scalars = jnp.concatenate(
-        [cam, fwd, right, jnp.stack([weather[0], start.astype(jnp.float32)]),
-         weather[1:], jnp.zeros(4)]
-    )
+    cam_scalars, route_cols, cboxes = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
     img = np.asarray(
-        render_frame_pallas(cam_scalars, route_cols, boxes, R.ROUTE_VIEW, boxes.shape[0], interpret=True)
+        render_frame_pallas(cam_scalars, route_cols, cboxes, R.ROUTE_VIEW, cboxes.shape[0], interpret=True)
     )
     d = np.abs(img - oracle)
     # tie-breaking at dash/edge boundaries flips a handful of pixels
