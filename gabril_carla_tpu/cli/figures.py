@@ -1,0 +1,147 @@
+"""Paper-figure generation from benchmark reports (draw_plot parity).
+
+The reference ships matplotlib scripts that turn driving-score CSVs into the
+paper's bar/curve figures (draw_plot/CARLA_bar.py, CARLA_curve.py over
+draw_plot/data/*.csv). Here the inputs are the report.json files written by
+examples/full_benchmark.py (one per training seed); multiple seeds become
+error bars.
+
+    python -m gabril_carla_tpu.cli.figures --reports results_r2/seed*/report.json --out figs/
+
+Produces:
+    methods_bar.png   seen/unseen driving score per method (mean ± std over seeds)
+    ratio_curve.png   gaze-ratio ablation (table3 parity) when Reg%r specs exist
+    lambda_curve.png  lambda sweep when Reg@l specs exist
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+# validated categorical palette (dataviz default instance; fixed slot order)
+SERIES = {"seen": "#2a78d6", "unseen": "#eb6834"}
+INK, MUTED, GRID = "#1a1a19", "#6b6a60", "#e8e7df"
+
+
+def _style(ax):
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color(GRID)
+    ax.tick_params(colors=MUTED, labelsize=9)
+    ax.yaxis.grid(True, color=GRID, linewidth=0.8)
+    ax.set_axisbelow(True)
+
+
+def _collect(report_paths: list[str]) -> dict[str, dict[str, list[float]]]:
+    """{method_spec: {'seen': [per-seed means], 'unseen': [...]}}"""
+    out: dict[str, dict[str, list[float]]] = defaultdict(lambda: {"seen": [], "unseen": []})
+    for p in report_paths:
+        rep = json.loads(Path(p).read_text())
+        for m, d in rep.get("methods", {}).items():
+            out[m]["seen"].append(float(d["seen"]))
+            out[m]["unseen"].append(float(d["unseen"]))
+    return dict(out)
+
+
+def methods_bar(data: dict, out: Path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # core methods only (ablation specs get their own curves)
+    core = {m: v for m, v in data.items() if "%" not in m and "!" not in m}
+    names = sorted(core, key=lambda m: -np.mean(core[m]["seen"]))
+    x = np.arange(len(names))
+    w = 0.38
+    fig, ax = plt.subplots(figsize=(max(6.4, 0.9 * len(names) + 2), 3.6), dpi=150)
+    for i, split in enumerate(("seen", "unseen")):
+        means = [float(np.mean(core[m][split])) for m in names]
+        stds = [float(np.std(core[m][split])) for m in names]
+        n_seeds = max(len(core[m][split]) for m in names)
+        seed_tag = f"{n_seeds} seed" + ("s" if n_seeds != 1 else "")
+        bars = ax.bar(x + (i - 0.5) * w, means, w - 0.04, color=SERIES[split],
+                      label=f"{split} ({seed_tag})",
+                      yerr=stds if n_seeds > 1 else None,
+                      error_kw={"ecolor": MUTED, "capsize": 2, "elinewidth": 1})
+        for xi, v in zip(x + (i - 0.5) * w, means):
+            ax.text(xi, v + 1.2, f"{v:.0f}", ha="center", va="bottom",
+                    fontsize=8, color=INK)
+    ax.set_xticks(x, names, rotation=20, ha="right", color=INK)
+    ax.set_ylabel("driving score", color=INK, fontsize=10)
+    ax.set_ylim(0, 105)
+    _style(ax)
+    ax.legend(frameon=False, fontsize=9, loc="upper right", labelcolor=INK)
+    fig.tight_layout()
+    fig.savefig(out / "methods_bar.png")
+    plt.close(fig)
+
+
+def _curve(data: dict, token: str, xlabel: str, fname: str, out: Path,
+           base_method: str = "Reg"):
+    """Ablation curve over a numeric token (%ratio or @lambda)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = []
+    for m, v in data.items():
+        core = m.replace("!notemporal", "")
+        if token not in core or not core.startswith(base_method):
+            continue
+        if token == "@" and ("%" in core or "!" in m):
+            continue  # ratio/temporal ablations pin lambda; not lambda points
+        try:
+            val = float(core.split(token)[-1].split("@")[0].split("%")[0].split(":")[0])
+        except ValueError:
+            continue
+        pts.append((val, v))
+    if len(pts) < 2:
+        return
+    pts.sort()
+    fig, ax = plt.subplots(figsize=(4.8, 3.2), dpi=150)
+    for split in ("seen", "unseen"):
+        xs = [p for p, _ in pts]
+        ys = [float(np.mean(v[split])) for _, v in pts]
+        es = [float(np.std(v[split])) for _, v in pts]
+        ax.errorbar(xs, ys, yerr=es, color=SERIES[split], label=split,
+                    linewidth=2, marker="o", markersize=5, capsize=2)
+    if token == "@":
+        ax.set_xscale("log")
+    ax.set_xlabel(xlabel, color=INK, fontsize=10)
+    ax.set_ylabel("driving score", color=INK, fontsize=10)
+    _style(ax)
+    ax.legend(frameon=False, fontsize=9, labelcolor=INK)
+    fig.tight_layout()
+    fig.savefig(out / fname)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--reports", nargs="+", required=True, help="report.json paths (one per seed)")
+    p.add_argument("--out", default="figs")
+    args = p.parse_args(argv)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    data = _collect(args.reports)
+    if not data:
+        print("no method results found")
+        return 1
+    methods_bar(data, out)
+    _curve(data, "%", "gaze ratio (table 3)", "ratio_curve.png", out)
+    _curve(data, "@", "lambda (reg weight)", "lambda_curve.png", out)
+    made = [f.name for f in out.glob("*.png")]
+    print(f"wrote {made} to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
