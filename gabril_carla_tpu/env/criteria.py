@@ -197,6 +197,10 @@ def compute_score(spec, state: SceneState) -> dict:
     crit = state.criteria
     pct = completion_pct(spec, state)
     pf = jnp.float32
+    # YieldToEmergencyVehicleTest (atomic_criteria.py:2093): infraction when
+    # the ego held the emergency vehicle up for a sustained stretch
+    # (scenario.aux accumulates EV-held seconds in scenarios._yield_emergency)
+    ev_failed = (spec.scenario_type == 11) & (state.scenario.aux > 8.0)
     penalty = (
         C.PENALTY_COLLISION_PEDESTRIAN ** pf(crit.collisions_pedestrian)
         * C.PENALTY_COLLISION_VEHICLE ** pf(crit.collisions_vehicle)
@@ -204,6 +208,7 @@ def compute_score(spec, state: SceneState) -> dict:
         * C.PENALTY_RED_LIGHT ** pf(crit.red_light)
         * C.PENALTY_STOP_SIGN ** pf(crit.stop_infraction)
         * jnp.where(state.scenario.timed_out, C.PENALTY_SCENARIO_TIMEOUT, 1.0)
+        * jnp.where(ev_failed, C.PENALTY_YIELD_EMERGENCY, 1.0)
     )
     # OUTSIDE_ROUTE_LANES: 'increases' with value 0 -> *= (1 - pct_outside/100)
     pct_outside = 100.0 * crit.outside_lane_m / jnp.maximum(crit.driven_m, 1e-3)
@@ -231,6 +236,7 @@ def compute_score(spec, state: SceneState) -> dict:
         "outside_route_lanes_pct": pct_outside,
         "min_speed_penalty": crit.ms_penalty * final_factor,
         "scenario_timeout": state.scenario.timed_out,
+        "yield_emergency": ev_failed,
         "blocked": crit.blocked,
         "deviated": crit.deviated,
     }

@@ -94,6 +94,15 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
 
     target_offset = jnp.where(do_overtake, C.LANE_WIDTH, 0.0)
 
+    # ---------- emergency vehicle behind (YieldToEmergencyVehicle): pull
+    # toward the right lane edge and slow until it has passed
+    ev_rel = veh.pos[0] - ego.pos
+    ev_yield = (
+        (stype == 11) & veh.alive[0] & (veh.mode[0] == 2)
+        & ((ev_rel @ heading) < 3.0) & (jnp.linalg.norm(ev_rel) < 32.0)
+    )
+    target_offset = jnp.where(ev_yield, -1.9, target_offset)
+
     # ---------- pure pursuit toward offset route point
     # short lookahead: long previews cut curves into the oncoming lane
     lookahead = 2.5 + 0.45 * ego.speed
@@ -113,6 +122,7 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     turn = jnp.maximum(1.0 - jnp.abs(d1 @ d2), 1.0 - jnp.abs(d0 @ d1))
     v_target = CRUISE_SPEED * (1.0 - jnp.clip(6.0 * turn, 0.0, 0.8))
     v_target = jnp.where(do_overtake, jnp.minimum(v_target, 6.0), v_target)
+    v_target = jnp.where(ev_yield, jnp.minimum(v_target, 2.5), v_target)
 
     # ---------- corridor braking (center shifted when overtaking)
     def corridor_hit(pos, alive, half_w, length):
@@ -153,8 +163,13 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     ego_in_own_lane = jnp.abs(ego_lat) < 1.2
     cross_threat = moving_veh & ~same_dir & ~(in_opposite_lane & (ego_in_own_lane | do_overtake))
     cross_hazard = corridor_hit(veh.pos, cross_threat, 2.2, 15.0)
+    # ParkingExit (scen_aux[3] marker): the ego starts inside a parked row;
+    # the hemming statics sit dead ahead in the heading corridor, so treating
+    # them as hazards deadlocks the pull-out — steering clears them.
+    parking_exit = (stype == 0) & (spec.scen_aux[3] > 0.5) & (s_ego < 18.0)
     hazard = close_lead
-    hazard |= corridor_hit(st.pos, st.alive & ~do_overtake, HAZARD_HALF_WIDTH, HAZARD_AHEAD)
+    hazard |= corridor_hit(st.pos, st.alive & ~do_overtake & ~parking_exit,
+                           HAZARD_HALF_WIDTH, HAZARD_AHEAD)
     hazard |= corridor_hit(veh.pos, veh.alive & ~moving_veh & ~do_overtake,
                            HAZARD_HALF_WIDTH, HAZARD_AHEAD)
 

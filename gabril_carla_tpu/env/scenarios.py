@@ -178,17 +178,132 @@ def _hazard_side_lane(spec, state: SceneState) -> SceneState:
     return state.replace(vehicles=veh, scenario=sc.replace(phase=phase))
 
 
+def _junction_adversary(spec, state: SceneState) -> SceneState:
+    """OppositeVehicle* / VehicleTurningRoute*: when the ego nears the
+    junction, the pre-placed adversary (slot 0) drives the crossing polyline
+    (flow slot 0, one-shot — flow_enabled stays False so the spawner never
+    touches it). The Pedestrian variant also releases its walker."""
+    conflict_s = spec.scen_aux[0]
+    veh = state.vehicles
+    trigger = (state.scenario.phase == 0) & (_ego_s(state) >= conflict_s - 28.0)
+    phase = jnp.where(trigger, 1, state.scenario.phase)
+    veh = veh.replace(
+        mode=veh.mode.at[0].set(jnp.where(trigger, 1, veh.mode[0])),
+        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, 0.0, veh.flow_s[0])),
+        target_speed=veh.target_speed.at[0].set(
+            jnp.where(phase >= 1, spec.scen_aux[1], 0.0)),
+    )
+    state = state.replace(vehicles=veh)
+    has_walker = spec.walk_count > 0
+    state = jax.lax.cond(jnp.any(trigger & has_walker),
+                         lambda s: _activate_walkers(spec, s), lambda s: s, state)
+    return state.replace(scenario=state.scenario.replace(phase=phase))
+
+
+def _yield_emergency(spec, state: SceneState) -> SceneState:
+    """YieldToEmergencyVehicle: an emergency vehicle spawns behind the ego at
+    the trigger and closes fast; the ego must make room. scenario.aux
+    accumulates the seconds the EV spends held up close behind the ego
+    (YieldToEmergencyVehicleTest, atomic_criteria.py:2093 — judged in
+    compute_score). Phase 2 = EV got past (success latch)."""
+    sc = state.scenario
+    veh = state.vehicles
+    ego_s = _ego_s(state)
+    trigger = (sc.phase == 0) & (ego_s >= spec.scen_aux[0])
+    spawn_s = jnp.maximum(ego_s - spec.scen_aux[1], 0.0)
+    veh = veh.replace(
+        pos=veh.pos.at[0].set(jnp.where(trigger, spec.route_xy[spawn_s.astype(jnp.int32)], veh.pos[0])),
+        alive=veh.alive.at[0].set(jnp.where(trigger, True, veh.alive[0])),
+        mode=veh.mode.at[0].set(jnp.where(trigger, 2, veh.mode[0])),
+        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, spawn_s, veh.flow_s[0])),
+        lane_offset=veh.lane_offset.at[0].set(jnp.where(trigger, 0.0, veh.lane_offset[0])),
+        direction=veh.direction.at[0].set(jnp.where(trigger, 1.0, veh.direction[0])),
+        target_speed=veh.target_speed.at[0].set(jnp.where(trigger, spec.scen_aux[2], veh.target_speed[0])),
+        speed=veh.speed.at[0].set(jnp.where(trigger, 8.0, veh.speed[0])),
+        half_extent=veh.half_extent.at[0].set(
+            jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[0])),
+    )
+    phase = jnp.where(trigger, 1, sc.phase)
+    ev_s = veh.flow_s[0]
+    passed = (phase == 1) & veh.alive[0] & (ev_s > ego_s + 6.0)
+    phase = jnp.where(passed, 2, phase)
+    # a laterally-yielding ego lets the EV pull around it on the left
+    idx = state.ego.route_idx
+    near = spec.route_xy[idx]
+    d = spec.route_dir[idx]
+    rel = state.ego.pos - near
+    ego_lat = -(d[0] * rel[1] - d[1] * rel[0])  # + = driver's left
+    overtaking = ((phase == 1) & veh.alive[0] & (ego_lat < -1.2)
+                  & (ev_s < ego_s + 4.0) & (ego_s - ev_s < 18.0))
+    veh = veh.replace(lane_offset=veh.lane_offset.at[0].set(
+        jnp.where(overtaking, 1.8, jnp.where(passed, 0.0, veh.lane_offset[0]))))
+    # EV held up: close behind and forced below its desired speed
+    held = ((phase == 1) & veh.alive[0] & (ev_s < ego_s) & (ego_s - ev_s < 14.0)
+            & (veh.speed[0] < 0.6 * spec.scen_aux[2]))
+    aux = sc.aux + jnp.where(held, C.DT, 0.0)
+    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase, aux=aux))
+
+
+def _hard_brake(spec, state: SceneState) -> SceneState:
+    """HardBreakRoute: a lead vehicle materializes cruising ahead of the ego,
+    then brakes hard for 4 s once the ego has closed in, then resumes."""
+    sc = state.scenario
+    veh = state.vehicles
+    ego_s = _ego_s(state)
+    trigger = (sc.phase == 0) & (ego_s >= spec.scen_aux[0] - 40.0)
+    spawn_s = ego_s + 22.0
+    veh = veh.replace(
+        pos=veh.pos.at[0].set(jnp.where(trigger, spec.route_xy[jnp.clip(spawn_s.astype(jnp.int32), 0, spec.route_xy.shape[0] - 1)], veh.pos[0])),
+        alive=veh.alive.at[0].set(jnp.where(trigger, True, veh.alive[0])),
+        mode=veh.mode.at[0].set(jnp.where(trigger, 2, veh.mode[0])),
+        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, spawn_s, veh.flow_s[0])),
+        direction=veh.direction.at[0].set(jnp.where(trigger, 1.0, veh.direction[0])),
+        speed=veh.speed.at[0].set(jnp.where(trigger, 7.0, veh.speed[0])),
+        half_extent=veh.half_extent.at[0].set(
+            jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[0])),
+    )
+    phase = jnp.where(trigger, 1, sc.phase)
+    close = (phase == 1) & veh.alive[0] & (veh.flow_s[0] - ego_s < 18.0) & (state.ego.speed > 3.0)
+    phase = jnp.where(close, 2, phase)
+    aux = jnp.where(close, sc.timer, sc.aux)  # brake-entry timestamp
+    braking = (phase == 2) & (sc.timer - aux < 4.0)
+    resume = (phase == 2) & (sc.timer - aux >= 4.0)
+    phase = jnp.where(resume, 3, phase)
+    target = jnp.where(braking, 0.0, jnp.where(phase >= 1, 7.0, 0.0))
+    veh = veh.replace(target_speed=veh.target_speed.at[0].set(target))
+    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase, aux=aux))
+
+
+def _control_loss(spec, state: SceneState) -> SceneState:
+    """ControlLoss: ~1.5 s of steering disturbance at the trigger (the
+    reference's AddNoiseToVehicle atoms, atomic_behaviors.py:1837-1963)."""
+    sc = state.scenario
+    trigger = (sc.phase == 0) & (_ego_s(state) >= spec.scen_aux[0])
+    phase = jnp.where(trigger, 1, sc.phase)
+    active = (phase == 1) & (sc.timer < 1.5)
+    phase = jnp.where((phase == 1) & (sc.timer >= 1.5), 2, phase)
+    ego = state.ego
+    wobble = 0.35 * jnp.sin(sc.timer * 8.0) * jnp.clip(ego.speed / 8.0, 0.0, 1.0)
+    yaw = ego.yaw + jnp.where(active, wobble * C.DT * 8.0, 0.0)
+    return state.replace(ego=ego.replace(yaw=yaw),
+                         scenario=sc.replace(phase=phase))
+
+
 _BRANCHES = [
-    _noop,  # 0 None / Vanilla stop sign (criteria-only)
-    _parking_cut_in,  # 1
-    _noop,  # 2 AccidentTwoWays: statics + oncoming flow, no phases
-    _walker_crossing,  # 3 DynamicObjectCrossing
-    _noop,  # 4 CrossingBicycleFlow: flow-only
+    _noop,  # 0 passive (layout/signals/criteria only)
+    _parking_cut_in,  # 1 cut-in family
+    _noop,  # 2 lane-obstacle family: statics (+ oncoming flow), no phases
+    _walker_crossing,  # 3 blocker + crossing walker
+    _noop,  # 4 junction crossing-flow family: flow-only
     _noop,  # 5 VehicleOpensDoorTwoWays: statics + oncoming flow
     _walker_crossing,  # 6 PedestrianCrossing
-    _noop,  # 7 MergerIntoSlowTrafficV2: flow-only
+    _noop,  # 7 merge-into-flow family: flow-only
     _blocked_intersection,  # 8
     _hazard_side_lane,  # 9
+    _junction_adversary,  # 10
+    _yield_emergency,  # 11
+    _hard_brake,  # 12
+    _control_loss,  # 13
 ]
 
 

@@ -94,13 +94,15 @@ class ScenarioState:
     next_gap: jnp.ndarray  # [N_FLOWS] f32 meters until next flow spawn
     timeout: jnp.ndarray  # f32 remaining scenario timeout (counts once active)
     timed_out: jnp.ndarray  # bool, ScenarioTimeoutTest fired
+    aux: jnp.ndarray  # f32 type-specific accumulator (e.g. seconds the ego
+    # has blocked the emergency vehicle, hard-brake phase entry time)
 
     @staticmethod
     def init(n_flows: int = 2) -> "ScenarioState":
         return ScenarioState(
             phase=jnp.asarray(0, jnp.int32), timer=jnp.asarray(0.0),
             next_gap=jnp.zeros((n_flows,)), timeout=jnp.asarray(240.0),
-            timed_out=jnp.asarray(False),
+            timed_out=jnp.asarray(False), aux=jnp.asarray(0.0),
         )
 
 

@@ -30,20 +30,64 @@ from flax import struct
 
 from . import constants as C
 
-# Scenario type enum (lax.switch dispatch index)
+# Scenario type enum (lax.switch dispatch index). All 44 types appearing in
+# bench2drive220.xml are covered; most map onto a shared family builder:
+#   0 passive (layout/signals/criteria only)   1 cut-in family
+#   2 lane-obstacle family                     3 blocker + crossing walker
+#   4 junction crossing-flow family            5 opened door
+#   6 pedestrian crossing                      7 merge-into-flow family
+#   8 blocked intersection                     9 side-lane hazard
+#  10 junction adversary (crosses/turns through the ego's path)
+#  11 yield-to-emergency-vehicle              12 hard-braking lead
+#  13 control loss (steering perturbation)
 SCENARIO_TYPES = {
     "None": 0,
     "VanillaNonSignalizedTurnEncounterStopsign": 0,  # no scenario class in the
-    # reference either: build_scenarios skips it (route_scenario.py:341-347)
+    # reference either: build_scenarios skips it (route_scenario.py:341-347);
+    # the stop sign itself is compiled below
+    "VanillaNonSignalizedTurn": 0,
+    "VanillaSignalizedTurnEncounterGreenLight": 0,
+    "VanillaSignalizedTurnEncounterRedLight": 0,
+    "T_Junction": 0,
+    "SequentialLaneChange": 0,
+    "ParkingExit": 0,
+    "InvadingTurn": 0,
     "ParkingCutIn": 1,
+    "StaticCutIn": 1,
+    "HighwayCutIn": 1,
     "AccidentTwoWays": 2,
+    "Accident": 2,
+    "ParkedObstacle": 2,
+    "ParkedObstacleTwoWays": 2,
+    "ConstructionObstacle": 2,
+    "ConstructionObstacleTwoWays": 2,
     "DynamicObjectCrossing": 3,
+    "ParkingCrossingPedestrian": 3,
     "CrossingBicycleFlow": 4,
+    "SignalizedJunctionLeftTurn": 4,
+    "SignalizedJunctionRightTurn": 4,
+    "NonSignalizedJunctionLeftTurn": 4,
+    "NonSignalizedJunctionRightTurn": 4,
+    "SignalizedJunctionLeftTurnEnterFlow": 4,
+    "NonSignalizedJunctionLeftTurnEnterFlow": 4,
     "VehicleOpensDoorTwoWays": 5,
     "PedestrianCrossing": 6,
     "MergerIntoSlowTrafficV2": 7,
+    "MergerIntoSlowTraffic": 7,
+    "EnterActorFlow": 7,
+    "HighwayExit": 7,
+    "InterurbanActorFlow": 7,
+    "InterurbanAdvancedActorFlow": 7,
     "BlockedIntersection": 8,
     "HazardAtSideLaneTwoWays": 9,
+    "HazardAtSideLane": 9,
+    "OppositeVehicleRunningRedLight": 10,
+    "OppositeVehicleTakingPriority": 10,
+    "VehicleTurningRoute": 10,
+    "VehicleTurningRoutePedestrian": 10,
+    "YieldToEmergencyVehicle": 11,
+    "HardBreakRoute": 12,
+    "ControlLoss": 13,
 }
 
 N_FLOWS = 2  # slot 0: explicit/source flow; slot 1: oncoming ("TwoWays") flow
@@ -358,10 +402,14 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     n_stop = 0
 
     scen = route["scenarios"][0] if route["scenarios"] else {"type": "None"}
-    stype = SCENARIO_TYPES.get(scen["type"], 0)
+    name = str(scen["type"])
+    stype = SCENARIO_TYPES.get(name, 0)
     trig_s = _project_s(xy, np.array(scen["trigger"][:2], np.float32)) if "trigger" in scen else 0.0
-    nonsignalized = "NonSignalized" in str(scen["type"])
-    if nonsignalized and "Stopsign" in str(scen["type"]):
+    # scenarios whose junction carries no working traffic light
+    nonsignalized = ("NonSignalized" in name) or name in (
+        "OppositeVehicleTakingPriority", "VehicleTurningRoute",
+        "VehicleTurningRoutePedestrian", "T_Junction")
+    if nonsignalized and "Stopsign" in name:
         # VanillaNonSignalizedTurnEncounterStopsign: stop sign at the trigger
         stop_s[0] = trig_s
         n_stop = 1
@@ -377,18 +425,20 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         flow_enabled[slot] = True
         flow_kind[slot] = kind
 
-    def oncoming_flow(s_from: float, s_to: float, speed=8.0, gap=(25.0, 50.0)):
+    def oncoming_flow(s_from: float, s_to: float, speed=8.0, gap=(25.0, 50.0),
+                      lat: float = C.LANE_WIDTH):
         """Slot-1 flow on the opposite lane, running from s_to down to s_from.
 
         Pointwise lane offsetting cuts corners on curves (the offset point
         lands inside the ego lane), so the flow is cropped to its longest
         stretch where the offset really is a lane away from the route —
         oncoming traffic matters in the overtake window, which the scenarios
-        place on straight road."""
+        place on straight road. ``lat`` < LANE_WIDTH makes the oncoming
+        traffic invade toward the ego lane (InvadingTurn)."""
         i0, i1 = int(max(0, s_from)), int(min(n - 1, s_to))
-        seg = xy[i0 : i1 + 1] + C.LANE_WIDTH * _left(dirs[i0 : i1 + 1])
+        seg = xy[i0 : i1 + 1] + lat * _left(dirs[i0 : i1 + 1])
         dmin = np.linalg.norm(seg[:, None, :] - xy[None, :, :], axis=-1).min(axis=1)
-        ok = dmin > 0.75 * C.LANE_WIDTH
+        ok = dmin > 0.75 * lat
         if not ok.any():
             return
         # longest contiguous valid run
@@ -416,32 +466,55 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
 
     lw = C.LANE_WIDTH
 
-    if stype == 1:  # ParkingCutIn: parked car 35 m past trigger, right side
-        s_cut = trig_s + 35.0
+    twoways = name.endswith("TwoWays")
+
+    if stype == 1:  # cut-in family: parked/waiting car pulls out ahead
+        # ParkingCutIn: fixed 35 m (parking_cut_in.py:41-44); StaticCutIn: at
+        # its 'distance' param; HighwayCutIn: merges from an explicit on-ramp
+        # location at highway speed (highway_cut_in.py semantics)
+        if name == "HighwayCutIn" and "other_actor_location" in scen:
+            loc = np.asarray(scen["other_actor_location"][:2], np.float32)
+            s_cut = _project_s(xy, loc)
+            cut_speed = 16.0
+        else:
+            s_cut = trig_s + float(scen.get("distance", 35.0))
+            cut_speed = 13.0
         p, d = _point_at(xy, dirs, s_cut)
         right = -_left(d)
-        add_vehicle(0, p + right * (lw * 0.8), math.atan2(d[1], d[0]), 0, CAR_EXTENT, 13.0)
+        add_vehicle(0, p + right * (lw * 0.8), math.atan2(d[1], d[0]), 0, CAR_EXTENT, cut_speed)
         scen_pos = (p + right * (lw * 0.8)).astype(np.float32)
         scen_aux[0] = s_cut
+        scen_aux[1] = cut_speed
 
-    elif stype == 2:  # AccidentTwoWays: prop train at distance, oncoming flow
+    elif stype == 2:  # lane-obstacle family: props at distance; TwoWays
+        # variants add oncoming traffic into the overtake window
         dist = float(scen.get("distance", 120.0))
         s0 = trig_s + dist
-        for k, ds in enumerate((0.0, 10.0, 16.0)):  # accident wp, +10, +6
+        if "Construction" in name:  # cone train (route_obstacles.py construction layout)
+            layout = [(0.0, (0.4, 0.4)), (4.0, (0.4, 0.4)), (8.0, (0.4, 0.4)),
+                      (12.0, (1.0, 0.6))]
+        elif "ParkedObstacle" in name:  # one parked vehicle
+            layout = [(0.0, CAR_EXTENT)]
+        else:  # Accident: crashed-car train at wp, +10, +16
+            layout = [(0.0, CAR_EXTENT), (10.0, CAR_EXTENT), (16.0, CAR_EXTENT)]
+        for k, (ds, ext) in enumerate(layout):
             p, d = _point_at(xy, dirs, s0 + ds)
             off = -_left(d) * (0.6 * lw / 2)
-            add_static(k, p + off, math.atan2(d[1], d[0]), CAR_EXTENT)
-        freq = scen.get("frequency", (32.0, 110.0))
-        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
+            add_static(k, p + off, math.atan2(d[1], d[0]), ext)
+        if twoways:
+            freq = scen.get("frequency", (32.0, 110.0))
+            oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
         scen_aux[0] = s0
 
-    elif stype == 3:  # DynamicObjectCrossing: blocker prop + crossing walker
+    elif stype == 3:  # blocker + crossing walker (DynamicObjectCrossing /
+        # ParkingCrossingPedestrian — there the blocker is a parked car)
         dist = float(scen.get("distance", 12.0))
         s0 = trig_s + dist
         p, d = _point_at(xy, dirs, s0)
         right = -_left(d)
         blocker = p + right * (lw * 0.9)
-        add_static(0, blocker, math.atan2(d[1], d[0]), (1.2, 1.2))
+        blk_ext = CAR_EXTENT if "Parking" in name else (1.2, 1.2)
+        add_static(0, blocker, math.atan2(d[1], d[0]), blk_ext)
         ang = math.radians(float(scen.get("crossing_angle", 0.0)))
         cross_dir = _left(d)  # walks right -> left across the lane
         ca, sa = math.cos(ang), math.sin(ang)
@@ -454,10 +527,25 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         scen_pos = blocker
         scen_aux[0] = s0
 
-    elif stype == 4:  # CrossingBicycleFlow
-        pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
+    elif stype == 4:  # junction crossing-flow family. CrossingBicycleFlow
+        # carries explicit flow endpoints; the junction-turn scenarios
+        # (Signalized/NonSignalizedJunction{Left,Right}Turn[EnterFlow]) leave
+        # the flow on the crossing road implicit — synthesize it through the
+        # junction the route turns at, perpendicular to the approach heading.
         gap = scen.get("source_dist_interval", (20.0, 50.0))
-        set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=1)
+        if "start_actor_flow" in scen:
+            pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
+        else:
+            entries = [e for e in detect_junctions(xy, dirs) if e >= trig_s - 40.0]
+            j = entries[0] if entries else trig_s + 10.0
+            p_c, _ = _point_at(xy, dirs, j + 18.0)
+            d_in = dirs[int(np.clip(j - 5.0, 0, n - 1))]
+            perp = _left(d_in)
+            if "Right" in name:
+                perp = -perp
+            pts = [p_c + perp * 45.0, p_c - perp * 45.0]
+        kind = 1 if "Bicycle" in name else 0
+        set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=kind)
 
     elif stype == 5:  # VehicleOpensDoorTwoWays
         dist = float(scen.get("distance", 50.0))
@@ -498,7 +586,7 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         scen_aux[0] = s0
         scen_aux[1] = 13.0  # trigger distance (blocked_intersection.py:64)
 
-    elif stype == 9:  # HazardAtSideLaneTwoWays: two bicycles at lane edge
+    elif stype == 9:  # HazardAtSideLane[TwoWays]: two bicycles at lane edge
         dist = float(scen.get("distance", 100.0))
         bspeed = float(scen.get("bicycle_speed", 8.0))
         bdist = float(scen.get("bicycle_drive_distance", 100.0))
@@ -508,9 +596,83 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             p, d = _point_at(xy, dirs, s0 + 8.0 * k)
             off = -_left(d) * (0.55 * lw / 2)
             add_vehicle(k, p + off, math.atan2(d[1], d[0]), 1, BIKE_EXTENT, bspeed)
-        oncoming_flow(trig_s - 10, min(n - 2, s0 + bdist + 30), speed=7.0, gap=(freq / 2, freq))
+        if twoways:
+            oncoming_flow(trig_s - 10, min(n - 2, s0 + bdist + 30), speed=7.0, gap=(freq / 2, freq))
         scen_aux[0] = s0
         scen_aux[1] = bdist
+
+    elif stype == 10:  # junction adversary: a vehicle crosses/turns through
+        # the ego's junction path (OppositeVehicleRunningRedLight /
+        # OppositeVehicleTakingPriority / VehicleTurningRoute[Pedestrian]).
+        # The crossing line rides flow slot 0 but spawning is one-shot,
+        # scenario-triggered (flow_enabled stays False).
+        entries = [e for e in detect_junctions(xy, dirs) if e >= trig_s - 30.0]
+        conflict_s = (entries[0] + 15.0) if entries else trig_s + 20.0
+        conflict_s = min(conflict_s, n - 5.0)
+        p_c, _ = _point_at(xy, dirs, conflict_s)
+        d_in = dirs[int(np.clip(conflict_s - 15.0, 0, n - 1))]
+        perp = _left(d_in)
+        if str(scen.get("direction", "left")) == "right":
+            perp = -perp
+        adv_speed = 10.0 if "RunningRedLight" in name else 8.0
+        set_flow(0, [p_c + perp * 40.0, p_c - perp * 40.0], adv_speed,
+                 (1e6, 1e6), kind=0)
+        flow_enabled[0] = False  # one-shot spawn by the phase machine
+        start = p_c + perp * 40.0
+        dyaw = math.atan2(-perp[1], -perp[0])
+        add_vehicle(0, start, dyaw, 0, CAR_EXTENT, 0.0)
+        if "Pedestrian" in name:
+            walk_pos[0] = p_c + perp * (lw * 1.2)
+            walk_vel[0] = -perp * 1.6
+            walk_ttl[0] = (2.4 * lw) / 1.6
+            walk_count = 1
+        if "RunningRedLight" in name and conflict_s > 14.0:
+            # signalized junction; the ego faces a working (green) light while
+            # the adversary runs the red from the crossing road
+            tl_stop_s[n_tl] = conflict_s - 8.0
+            tl_green[n_tl] = 1e6
+            tl_yellow[n_tl] = 0.0
+            tl_red[n_tl] = 0.0
+            n_tl += 1
+        scen_pos = p_c.astype(np.float32)
+        scen_aux[0] = conflict_s
+        scen_aux[1] = adv_speed
+
+    elif stype == 11:  # YieldToEmergencyVehicle: EV approaches from behind
+        scen_aux[0] = trig_s
+        scen_aux[1] = float(scen.get("distance", 30.0))  # spawn gap behind ego
+        scen_aux[2] = 14.0  # EV speed
+
+    elif stype == 12:  # HardBreakRoute: lead brakes hard in front of the ego
+        scen_aux[0] = trig_s
+
+    elif stype == 13:  # ControlLoss: transient steering perturbation
+        scen_aux[0] = trig_s
+
+    if name == "ParkingExit":
+        # ego starts in a parking slot beside the lane, hemmed in by parked
+        # vehicles 'front/behind_vehicle_distance' away (parking_exit.py)
+        right0 = -_left(dirs[0])
+        fwd0 = dirs[0]
+        slot = xy[0] + right0 * (lw * 0.8)
+        fdist = float(scen.get("front_vehicle_distance", 9.0))
+        bdist_p = float(scen.get("behind_vehicle_distance", 9.0))
+        yaw0 = math.atan2(dirs[0][1], dirs[0][0])
+        add_static(0, slot + fwd0 * fdist, yaw0, CAR_EXTENT)
+        add_static(1, slot - fwd0 * bdist_p, yaw0, CAR_EXTENT)
+        spawn_override = slot.astype(np.float32)
+        scen_aux[3] = 1.0  # ParkingExit marker (expert suppresses the
+        # parked-row hazard while pulling out)
+    else:
+        spawn_override = None
+
+    if name == "InvadingTurn":
+        # oncoming traffic cuts the corner, invading toward the ego lane by
+        # 'offset' lane-fractions over the turn (invading_turn.py)
+        dist = float(scen.get("distance", 60.0))
+        invade = float(scen.get("offset", 0.25))
+        oncoming_flow(trig_s - 5, min(n - 2, trig_s + dist + 30), speed=7.0,
+                      gap=(30.0, 60.0), lat=(1.0 - invade) * lw)
 
     sel = select_parked_near_route(parked, xy, dirs, C.N_STATICS - C.N_SCENARIO_STATICS)
     for k, (px, py, pyaw) in enumerate(sel):
@@ -527,7 +689,7 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         fl = flow_xy[0][: max(int(flow_len[0]), 2)]
         d2 = np.linalg.norm(xy[:, None, :] - fl[None, :, :], axis=-1).min(axis=1)
         cross_s = float(np.argmin(d2))
-        if d2.min() < 6.0 and cross_s > 8.0:
+        if d2.min() < 6.0 and cross_s > 8.0 and not nonsignalized:
             tl_stop_s[n_tl] = cross_s - 6.0
             tl_green[n_tl] = 1e6
             tl_yellow[n_tl] = 0.0
@@ -548,6 +710,27 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         cycle = C.TL_GREEN_S + C.TL_YELLOW_S + C.TL_RED_S
         tl_offset[n_tl] = float(rng_tl.uniform(0.0, cycle))
         n_tl += 1
+
+    # VanillaSignalizedTurnEncounter{Red,Green}Light: the scenario promises a
+    # specific light state when the ego reaches its junction — phase the
+    # nearest light to be red (resp. green) at the estimated arrival time
+    # (ambient cruise ~6 m/s).
+    if "EncounterRedLight" in name or "EncounterGreenLight" in name:
+        cycle = C.TL_GREEN_S + C.TL_YELLOW_S + C.TL_RED_S
+        cand = [k for k in range(n_tl) if abs(tl_stop_s[k] - trig_s) < 80.0]
+        if not cand and n_tl < N_TRAFFIC_LIGHTS:
+            tl_stop_s[n_tl] = max(trig_s, 10.0)
+            cand = [n_tl]
+            n_tl += 1
+        if cand:
+            k = min(cand, key=lambda k: abs(tl_stop_s[k] - trig_s))
+            arrival = float(tl_stop_s[k]) / 6.0
+            if "RedLight" in name:
+                # phase time at arrival lands mid-red
+                target = C.TL_GREEN_S + C.TL_YELLOW_S + 0.4 * C.TL_RED_S
+            else:
+                target = 0.3 * C.TL_GREEN_S
+            tl_offset[k] = (target - arrival) % cycle
 
     # ---- ambient keep-clear windows (background_manager.py analogues):
     # same-direction traffic stays out of the scenario's working zone
@@ -578,6 +761,18 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     elif stype == 8:  # blocked intersection
         amb_clear[:] = (trig_s - 5.0, s0 + 35.0)
         amb_opp_clear[:] = (trig_s - 5.0, s0 + 35.0)
+    elif stype == 10:  # junction adversary owns the junction
+        amb_clear[:] = (s0 - 35.0, s0 + 35.0)
+        amb_opp_clear[:] = (s0 - 35.0, s0 + 35.0)
+    elif stype == 11:  # the emergency vehicle needs a free lane behind the ego
+        amb_clear[:] = (max(0.0, trig_s - 60.0), trig_s + 150.0)
+    elif stype == 12:  # the braking lead owns the stretch past the trigger
+        amb_clear[:] = (trig_s - 25.0, trig_s + 70.0)
+    if name == "InvadingTurn":  # invading oncoming flow owns the opposite lane
+        amb_opp_clear[:] = (trig_s - 15.0, trig_s + float(scen.get("distance", 60.0)) + 40.0)
+    if name == "ParkingExit":  # pulling out of the slot crosses the lane edge
+        lane_allow[:] = (0.0, 25.0)
+        amb_clear[:] = (0.0, 40.0)
     if n_stop:  # stop-sign junction: keep it open in both directions
         amb_clear[:] = (trig_s - 15.0, trig_s + 25.0)
         amb_opp_clear[:] = (trig_s - 15.0, trig_s + 25.0)
@@ -603,7 +798,7 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         route_dir=_pad(dirs, m),
         n_route=np.int32(n),
         route_len=np.float32(n - 1),
-        spawn_pos=xy[0],
+        spawn_pos=spawn_override if spawn_override is not None else xy[0],
         spawn_yaw=np.float32(math.atan2(dirs[0][1], dirs[0][0])),
         scenario_type=np.int32(stype),
         trigger_s=np.float32(trig_s),

@@ -44,7 +44,9 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
     infractions["route_dev"] = ["Agent deviated from the route"] if s.get("deviated") else []
     infractions["vehicle_blocked"] = ["Agent got blocked"] if s.get("blocked") else []
     infractions["scenario_timeouts"] = ["Scenario timed out"] if s.get("scenario_timeout") else []
-    infractions["yield_emergency_vehicle"] = []
+    infractions["yield_emergency_vehicle"] = (
+        ["Agent failed to yield to an emergency vehicle"] if s.get("yield_emergency") else []
+    )
     msp = s.get("min_speed_penalty", 1.0)
     infractions["min_speed_infractions"] = (
         [f"Average speed below the surrounding traffic's (penalty {msp:.3f})"]

@@ -51,10 +51,13 @@ class Trainer:
         dd = cfg.get_path("training.device_data", "auto")
         if dd == "auto":
             n_bytes = sum(x.nbytes for x in dataset.store.images)
-            # fits when each 'data' shard holds < 6 GB of HBM; lazy
-            # (disk-backed) stores stream by construction
+            # fits when each 'data' shard holds < 9 GB of the 16 GB HBM
+            # (params/optimizer are ~100 MB and the epoch workspace is one
+            # batch); lazy (disk-backed) stores stream by construction.
+            # Through this machine's TPU tunnel the streamed fallback costs
+            # ~0.5 s per batch, so err toward device residency.
             per_shard = n_bytes / (n_data if can_shard else 1)
-            dd = per_shard < 6e9 and not dataset.store.lazy
+            dd = per_shard < 9e9 and not dataset.store.lazy
         self.device_mode = bool(dd)
         self._sharded_device = self.device_mode and can_shard and not dataset.store.lazy
         axis = "data" if self._sharded_device else None
