@@ -143,6 +143,14 @@ def main():
     report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
               "confounded": args.confounded, "train_seed": args.train_seed, "methods": {}}
 
+    # one device-resident copy of the dataset shared by every trainer in this
+    # process (the 6 GB HBM upload happens once, not once per method)
+    from gabril_carla_tpu.train.device_data import DeviceData
+
+    base_cfg = default_bc_config()
+    shared_dd = DeviceData(store, frame_stack=base_cfg.data["frame_stack"],
+                           grayscale_store=base_cfg.model["grayscale"])
+
     # ---------- 1b. frozen gaze predictor for heat-needing methods
     # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
     def parse_core(m):
@@ -165,7 +173,7 @@ def main():
         gcfg["scheduler"]["type"] = "none"
         gcfg["logging"]["log_dir"] = str(out / "runs")
         t0 = time.time()
-        gtr = Trainer(gcfg, BCDataset(store, frame_stack=gcfg.data["frame_stack"]), mode="gaze")
+        gtr = Trainer(gcfg, BCDataset(store, frame_stack=gcfg.data["frame_stack"]), mode="gaze", device_data=shared_dd)
         gm = gtr.train()
         gp_params = jax.device_get(gtr.state.params)
         gp_model = gtr.model
@@ -187,11 +195,17 @@ def main():
         vcfg["scheduler"]["type"] = "none"
         vcfg["logging"]["log_dir"] = str(out / "runs")
         t0 = time.time()
-        vtr = Trainer(vcfg, BCDataset(store, frame_stack=vcfg.data["frame_stack"]), mode="vqvae")
+        vtr = Trainer(vcfg, BCDataset(store, frame_stack=vcfg.data["frame_stack"]), mode="vqvae", device_data=shared_dd)
         vm = vtr.train()
         vtr.save(epoch=0)
         vqvae_path = str(vtr.logger.ckpt_dir / "ep0")
         print(f"[train:vqvae] {time.time()-t0:.0f}s: {vm}", flush=True)
+        # free the 6 GB device-resident dataset copy before the BC trainers
+        # park their own (two copies + workspace exceed the 16 GB HBM)
+        import gc
+
+        del vtr
+        gc.collect()
 
     # ---------- 2+3. train each method, evaluate on both splits
     for method_spec in args.methods:
@@ -228,7 +242,7 @@ def main():
         import gc
 
         gc.collect()  # drop the previous method's device-resident buffers
-        trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc")
+        trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc", device_data=shared_dd)
         t0 = time.time()
         metrics = trainer.train()
         train_s = time.time() - t0

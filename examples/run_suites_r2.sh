@@ -15,7 +15,7 @@ ABL="Reg@0.03 Reg@0.1 Reg@1.0 Reg@0.3%0.0 Reg@0.3%0.25 Reg@0.3%0.5 Reg@0.3%0.75 
 
 for seed in 42 43 44; do
   python -u examples/full_benchmark.py \
-    --train_seeds $(seq 200 219) --epochs 40 --batch_size 128 \
+    --train_seeds $(seq 200 219) --epochs 30 --batch_size 128 \
     --methods $CORE --train_seed $seed \
     --store_cache "$CACHE" --out "$OUT/core_seed$seed" \
     > "$OUT/core_seed$seed.log" 2>&1 || echo "core seed $seed FAILED"
@@ -23,7 +23,7 @@ done
 
 for seed in 42 43 44; do
   python -u examples/full_benchmark.py \
-    --train_seeds $(seq 200 219) --epochs 40 --batch_size 128 \
+    --train_seeds $(seq 200 219) --epochs 30 --batch_size 128 \
     --methods $ABL --train_seed $seed \
     --store_cache "$CACHE" --out "$OUT/abl_seed$seed" \
     > "$OUT/abl_seed$seed.log" 2>&1 || echo "abl seed $seed FAILED"

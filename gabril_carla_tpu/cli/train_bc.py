@@ -6,6 +6,7 @@ import argparse
 
 from ..data import BCDataset, synthetic_episodes
 from ..data.dataset import load_hdf5
+from ..parallel import maybe_init_distributed
 from ..train import Trainer
 from ..utils.config import default_bc_config, load_config
 
@@ -29,6 +30,9 @@ def main(argv=None, mode: str = "bc"):
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = p.parse_args(argv)
+    # multi-host: one jax.distributed.initialize per host before backend use
+    # (the torchrun/NCCL-process-group analogue; no-op on single hosts)
+    maybe_init_distributed()
     base = default_bc_config().to_dict()
     cfg = load_config(args.config, args.overrides, base=base)
     ds = build_dataset(cfg)

@@ -27,7 +27,11 @@ class Trainer:
     """mode: 'bc' (BCTrainer parity), 'gaze' (GazePredictorTrainer parity),
     or 'vqvae' (Oreo quantizer pretraining)."""
 
-    def __init__(self, cfg, dataset: BCDataset, mode: str = "bc", mesh=None):
+    def __init__(self, cfg, dataset: BCDataset, mode: str = "bc", mesh=None,
+                 device_data=None):
+        """``device_data``: an existing DeviceData for this dataset, shared
+        across successive Trainers so the multi-GB HBM copy uploads once per
+        process instead of once per training run."""
         self.cfg = cfg
         self.dataset = dataset
         self.mode = mode
@@ -74,9 +78,12 @@ class Trainer:
             self.step_fn = make_gaze_train_step(self.model, self.heatmapper, cfg,
                                                 donate=donate, jit=jit_step, axis_name=axis)
         elif mode == "vqvae":
+            from .vqvae import make_revive_dead_codes
+
             (self.models, self.heatmapper), self.state = init_vqvae_state(cfg, rng, tx)
             self.step_fn = make_vqvae_train_step(self.models, self.heatmapper, cfg,
                                                  donate=donate, jit=jit_step, axis_name=axis)
+            self._revive_fn = make_revive_dead_codes(self.models, cfg)
         else:
             raise ValueError(f"unknown mode {mode}")
 
@@ -95,8 +102,9 @@ class Trainer:
         elif self.device_mode:
             from .device_data import DeviceData, make_epoch_fn
 
-            self.device_data = DeviceData(dataset.store, cfg.data["frame_stack"],
-                                          grayscale_store=cfg.model["grayscale"])
+            self.device_data = device_data if device_data is not None else DeviceData(
+                dataset.store, cfg.data["frame_stack"],
+                grayscale_store=cfg.model["grayscale"])
             self.epoch_fn = make_epoch_fn(self.device_data, self.step_fn,
                                           self.steps_per_epoch, bs)
         self.timer = StageTimer()
@@ -137,6 +145,8 @@ class Trainer:
                 # one host sync per epoch
                 with self.timer.stage("sync"):
                     avg = {k: float(jax.device_get(v)) / count for k, v in totals.items()}
+            if self.mode == "vqvae":
+                avg["dead_codes"] = self._revive_dead_codes(epoch)
             self.logger.log_scalars(self._global_step, {"epoch": epoch + 1, **avg})
             self.logger.print(
                 f"epoch {epoch + 1}/{epochs}: " + ", ".join(f"{k}={v:.5f}" for k, v in avg.items())
@@ -145,6 +155,17 @@ class Trainer:
             if (epoch + 1) % save_interval == 0 or (epoch + 1) == epochs:
                 self.save(epoch + 1)
         return last
+
+    def _revive_dead_codes(self, epoch: int) -> int:
+        """Between VQ-VAE epochs: re-seed codebook rows no batch latent maps
+        to (collapse guard — see vqvae.make_revive_dead_codes)."""
+        n = min(512, len(self.dataset))
+        batch = self.dataset.sample(np.arange(n))
+        batch = jax.tree.map(jnp.asarray, batch)
+        key = jax.random.fold_in(jax.random.PRNGKey(77), epoch)
+        new_params, dead = self._revive_fn(self.state.params, batch, key)
+        self.state = self.state.replace(params=new_params)
+        return int(jax.device_get(dead))
 
     def save(self, epoch: int):
         save_params(self.logger.ckpt_dir, epoch, self.state.params)

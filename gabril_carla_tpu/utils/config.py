@@ -156,7 +156,8 @@ def default_bc_config() -> Config:
                 "compute_dtype": "bfloat16",
                 "donate": True,
             },
-            "logging": {"log_dir": "runs", "checkpoint_dir": "runs", "save_params": True},
+            "logging": {"log_dir": "runs", "checkpoint_dir": "runs", "save_params": True,
+                        "tensorboard": False},
             "tag": "",
         }
     )

@@ -46,12 +46,27 @@ class ExperimentLogger:
         self._metrics_path = self.log_dir / "metrics.jsonl"
         (self.log_dir / "config.json").write_text(json.dumps(cfg.to_dict(), indent=2))
         self._t0 = time.monotonic()
+        # optional TensorBoard event stream next to metrics.jsonl (the
+        # reference logs Loss/epoch, Loss/actor, Loss/reg, LR scalars,
+        # train/common/base_trainer.py:181-188)
+        self._tb = None
+        if cfg.get_path("logging.tensorboard", False):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=str(self.log_dir / "tb"))
+            except Exception as e:  # tensorboard is optional
+                print(f"tensorboard disabled: {e}")
 
     def log_scalars(self, step: int, scalars: dict):
         rec = {"step": step, "t": round(time.monotonic() - self._t0, 3)}
         rec.update({k: float(v) for k, v in scalars.items()})
         with self._metrics_path.open("a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "t"):
+                    self._tb.add_scalar(k, v, step)
 
     def print(self, msg: str):
         print(f"[{self.run_name}] {msg}", flush=True)

@@ -36,3 +36,17 @@ def test_default_config_paths():
     cfg.set_path("a.b.c", 3)
     assert cfg.get_path("a.b.c") == 3
     assert cfg.get_path("missing.key", "fallback") == "fallback"
+
+
+def test_tensorboard_scalars_written(tmp_path):
+    from gabril_carla_tpu.utils import default_bc_config
+    from gabril_carla_tpu.utils.logging import ExperimentLogger
+
+    cfg = default_bc_config()
+    cfg["logging"]["log_dir"] = str(tmp_path)
+    cfg["logging"]["tensorboard"] = True
+    lg = ExperimentLogger(cfg)
+    lg.log_scalars(1, {"loss": 0.5})
+    lg.log_scalars(2, {"loss": 0.25})
+    tb_dir = lg.log_dir / "tb"
+    assert tb_dir.exists() and any(tb_dir.iterdir())

@@ -74,3 +74,11 @@ def test_shard_batch_pads_ragged():
     out = shard_batch(batch, mesh)
     assert out["x"].shape[0] == 16  # padded to multiple of 8
     np.testing.assert_array_equal(np.asarray(out["x"][:10, 0]), np.arange(10))
+
+
+def test_maybe_init_distributed_noop_single_host(monkeypatch):
+    from gabril_carla_tpu.parallel import maybe_init_distributed
+
+    for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(k, raising=False)
+    assert maybe_init_distributed() is False
