@@ -82,3 +82,24 @@ def test_maybe_init_distributed_noop_single_host(monkeypatch):
     for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
         monkeypatch.delenv(k, raising=False)
     assert maybe_init_distributed() is False
+
+
+def test_multislice_mesh_psum():
+    """make_multislice_mesh: 'model' within a slice, 'data' across; a psum
+    over both axes sees every device exactly once."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from gabril_carla_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(model=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+
+    def body(x):
+        return jax.lax.psum(jax.lax.psum(x, "data"), "model")
+
+    out = jax.shard_map(body, mesh=mesh, in_specs=P("data", "model"),
+                        out_specs=P("data", "model"))(
+        jnp.ones((mesh.shape["data"], mesh.shape["model"])))
+    assert (jax.device_get(out) == len(jax.devices())).all()
