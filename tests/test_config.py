@@ -50,3 +50,27 @@ def test_tensorboard_scalars_written(tmp_path):
     lg.log_scalars(2, {"loss": 0.25})
     tb_dir = lg.log_dir / "tb"
     assert tb_dir.exists() and any(tb_dir.iterdir())
+
+
+def test_figures_cli(tmp_path):
+    import json
+
+    from gabril_carla_tpu.cli.figures import main as figmain
+
+    reps = []
+    for i, scale in enumerate((1.0, 1.05)):
+        rep = {"methods": {
+            "None": {"seen": 60 * scale, "unseen": 40},
+            "Reg@0.3": {"seen": 80 * scale, "unseen": 50},
+            "Reg@0.1": {"seen": 70, "unseen": 45},
+            "Reg@1.0": {"seen": 55, "unseen": 30},
+            "Reg@0.3%0.25": {"seen": 62, "unseen": 41},
+            "Reg@0.3%0.75": {"seen": 71, "unseen": 44},
+        }}
+        p = tmp_path / f"rep{i}.json"
+        p.write_text(json.dumps(rep))
+        reps.append(str(p))
+    out = tmp_path / "figs"
+    assert figmain(["--reports", *reps, "--out", str(out)]) == 0
+    names = {f.name for f in out.glob("*.png")}
+    assert {"methods_bar.png", "lambda_curve.png", "ratio_curve.png"} <= names
