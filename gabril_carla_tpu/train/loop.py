@@ -158,10 +158,21 @@ class Trainer:
 
     def _revive_dead_codes(self, epoch: int) -> int:
         """Between VQ-VAE epochs: re-seed codebook rows no batch latent maps
-        to (collapse guard — see vqvae.make_revive_dead_codes)."""
-        n = min(512, len(self.dataset))
-        batch = self.dataset.sample(np.arange(n))
-        batch = jax.tree.map(jnp.asarray, batch)
+        to (collapse guard — see vqvae.make_revive_dead_codes).
+
+        The probe batch is gathered ON DEVICE when the dataset is
+        device-resident — a per-epoch multi-MB host->device transfer both
+        wastes tunnel bandwidth and has been observed to wedge the tunneled
+        TPU backend mid-run."""
+        if self._sharded_device:
+            return -1  # usage statistics are shard-local; skip (vqvae
+            # pretraining runs single-chip in every current pipeline)
+        if self.device_mode:
+            n = min(512, self.device_data.n_samples)
+            batch = self.device_data.gather(jnp.arange(n))
+        else:
+            n = min(512, len(self.dataset))
+            batch = jax.tree.map(jnp.asarray, self.dataset.sample(np.arange(n)))
         key = jax.random.fold_in(jax.random.PRNGKey(77), epoch)
         new_params, dead = self._revive_fn(self.state.params, batch, key)
         self.state = self.state.replace(params=new_params)
