@@ -49,8 +49,10 @@ def main():
     p.add_argument("--methods", nargs="*", default=["None", "Reg"],
                    help="gaze methods; append :dropout and @lambda, e.g. Reg@1.0 None:GMD")
     p.add_argument("--out", default="results")
-    p.add_argument("--train_seed", type=int, default=42,
-                   help="training seed (init + batch order); the protocol runs >=3 seeds per method")
+    p.add_argument("--train_seed", type=int, nargs="+", default=[42],
+                   help="training seeds (init + batch order); multiple seeds run in ONE "
+                        "process so the multi-GB device upload happens once — through "
+                        "this machine's TPU tunnel each upload costs 5-15 min")
     p.add_argument("--store_cache", default=None, help="npz path to save/load collected episodes")
     p.add_argument("--confounded", action="store_true",
                    help="bake expert-action overlays into training frames and evaluate with the "
@@ -111,7 +113,7 @@ def main():
           f"{time.time()-t0:.0f}s; expert mean {expert_agg['mean']:.2f}", flush=True)
     if cache is not None and not cache.exists():
         store.finalize()
-        np.savez_compressed(cache, images=store.flat_images, gazes=store.flat_gazes,
+        np.savez(cache, images=store.flat_images, gazes=store.flat_gazes,
                             actions=store.flat_actions, lengths=store.lengths,
                             records=np.asarray(expert_records, dtype=object))
         print(f"[collect] cached to {cache}", flush=True)
@@ -140,24 +142,50 @@ def main():
             imgs[i, :, :, 0][bar] = 242
         print(f"[confound] overlaid {len(imgs)} frames in {time.time()-t0:.0f}s", flush=True)
 
-    report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
-              "confounded": args.confounded, "train_seed": args.train_seed, "methods": {}}
-
-    # one device-resident copy of the dataset shared by every trainer in this
-    # process (the 6 GB HBM upload happens once, not once per method)
+    # one device-resident copy of the dataset shared by every trainer and
+    # every seed in this process (the 6 GB HBM upload happens once)
     from gabril_carla_tpu.train.device_data import DeviceData
 
     base_cfg = default_bc_config()
     shared_dd = DeviceData(store, frame_stack=base_cfg.data["frame_stack"],
                            grayscale_store=base_cfg.model["grayscale"])
 
-    # ---------- 1b. frozen gaze predictor for heat-needing methods
-    # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
     def parse_core(m):
         t = m.replace("!notemporal", "").split("%")[0].split("@")[0]
         meth, _, drop = t.partition(":")
         return meth, drop or "None"
 
+    for train_seed in args.train_seed:
+        run_seed(train_seed, args, out / f"seed{train_seed}" if len(args.train_seed) > 1 else out,
+                 store, shared_dd, expert_agg, n_frames, parse_core,
+                 seen, unseen, idx_of, all_specs)
+    return 0
+
+
+def run_seed(train_seed, args, out, store, shared_dd, expert_agg, n_frames,
+             parse_core, seen, unseen, idx_of, all_specs):
+    """Train + evaluate every method spec at one training seed."""
+    import gc
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gabril_carla_tpu.data import BCDataset
+    from gabril_carla_tpu.env.criteria import compute_score
+    from gabril_carla_tpu.eval.rollout import make_rollout_fn
+    from gabril_carla_tpu.eval.stats import aggregate_scores, route_record, write_stats_json
+    from gabril_carla_tpu.train import Trainer
+    from gabril_carla_tpu.train.bc import make_bc_policy_fn
+    from gabril_carla_tpu.utils import default_bc_config
+
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
+              "confounded": args.confounded, "train_seed": train_seed, "methods": {}}
+
+    # ---------- 1b. frozen gaze predictor for heat-needing methods
+    # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
     needs_gp = any(
         parse_core(m)[0] in ("Mask", "ViSaRL", "AGIL") or parse_core(m)[1] in ("GMD", "IGMD")
         for m in args.methods
@@ -169,7 +197,7 @@ def main():
         gcfg = default_gaze_config()
         gcfg["data"].update(batch_size=args.batch_size, task="GazePred")
         gcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=999,
-                                seed=args.train_seed)
+                                seed=train_seed)
         gcfg["scheduler"]["type"] = "none"
         gcfg["logging"]["log_dir"] = str(out / "runs")
         t0 = time.time()
@@ -179,9 +207,6 @@ def main():
         gp_model = gtr.model
         gp_apply = lambda p, obs: gp_model.apply({"params": p}, obs)
         print(f"[train:gaze_predictor] {time.time()-t0:.0f}s: {gm}", flush=True)
-        # free the trainer's 5 GB device-resident dataset before the next one
-        import gc
-
         del gtr
         gc.collect()
 
@@ -191,7 +216,7 @@ def main():
         vcfg = default_bc_config()
         vcfg["data"].update(batch_size=args.batch_size, task="VQVAE")
         vcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=10**6,
-                                seed=args.train_seed)
+                                seed=train_seed)
         vcfg["scheduler"]["type"] = "none"
         vcfg["logging"]["log_dir"] = str(out / "runs")
         t0 = time.time()
@@ -200,10 +225,6 @@ def main():
         vtr.save(epoch=0)
         vqvae_path = str(vtr.logger.ckpt_dir / "ep0")
         print(f"[train:vqvae] {time.time()-t0:.0f}s: {vm}", flush=True)
-        # free the 6 GB device-resident dataset copy before the BC trainers
-        # park their own (two copies + workspace exceed the 16 GB HBM)
-        import gc
-
         del vtr
         gc.collect()
 
@@ -237,10 +258,8 @@ def main():
         tag = (method_spec.replace(":", "-").replace("@", "-l")
                .replace("%", "-r").replace("!", "-"))
         cfg["training"].update(epochs=args.epochs, save_interval=args.epochs,
-                               seed=args.train_seed)
+                               seed=train_seed)
         cfg["logging"]["log_dir"] = str(out / "runs")
-        import gc
-
         gc.collect()  # drop the previous method's device-resident buffers
         trainer = Trainer(cfg, BCDataset(store, frame_stack=cfg.data["frame_stack"]), mode="bc", device_data=shared_dd)
         t0 = time.time()
@@ -295,9 +314,9 @@ def main():
         }
         (out / "report.json").write_text(json.dumps(report, indent=2))
 
-    print("[done]", json.dumps({m: {k: v for k, v in d.items() if k in ("seen", "unseen")}
-                                for m, d in report["methods"].items()}), flush=True)
-    return 0
+    print(f"[done seed {train_seed}]",
+          json.dumps({m: {k: v for k, v in d.items() if k in ("seen", "unseen")}
+                      for m, d in report["methods"].items()}), flush=True)
 
 
 if __name__ == "__main__":

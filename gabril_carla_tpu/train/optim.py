@@ -97,17 +97,26 @@ def build_optimizer(cfg_opt, cfg_sched, cfg_train, steps_per_epoch: int) -> opta
                       cfg_train.get("gradient_accumulation_steps", 1))
     kind = cfg_opt.get("type", "adam")
     wd = cfg_opt.get("weight_decay", 0.0)
+    # Global-norm gradient clip ahead of the moment updates. The reference's
+    # recipe is Adam 5e-4 at batch 2000-4000 (configs/train_bc.yaml); at this
+    # repo's batch 128 the same lr is ~4x hotter per-sample, and one hot
+    # step right after warmup was observed to kill the network into a
+    # constant predictor (loss pinned at the action variance). clip=0 turns
+    # it off.
+    clip = float(cfg_opt.get("clip_norm", 1.0))
+    clip_tx = optax.clip_by_global_norm(clip) if clip else optax.identity()
     if kind == "adam":
         # torch.optim.Adam couples L2 into the gradient BEFORE the moment
         # updates (unlike AdamW's decoupled decay), so decay must precede
         # scale_by_adam to match the reference numerics.
         tx = optax.chain(
+            clip_tx,
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(sched),
         )
     elif kind == "adamw":
-        tx = optax.adamw(sched, weight_decay=wd)
+        tx = optax.chain(clip_tx, optax.adamw(sched, weight_decay=wd))
     else:
         raise ValueError(f"Unknown optimizer type: {kind}")
     accum = cfg_train.get("gradient_accumulation_steps", 1)
