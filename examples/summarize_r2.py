@@ -15,7 +15,7 @@ def main(root="results_r2"):
     root = Path(root)
     data = defaultdict(lambda: {"seen": [], "unseen": []})
     n_reports = 0
-    for rep_path in sorted(root.glob("*/report.json")):
+    for rep_path in sorted(root.glob("**/report.json")):
         rep = json.loads(rep_path.read_text())
         n_reports += 1
         for m, d in rep.get("methods", {}).items():
