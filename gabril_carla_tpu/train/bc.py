@@ -230,8 +230,15 @@ def bc_loss_fn(params, models: BCModels, cfg, batch, key: jax.Array, train: bool
     elif ratio <= 0.0:
         ivg = jnp.zeros((bsz,), jnp.float32)
     else:
+        # integer content hash (Knuth multiplicative on the bit pattern of
+        # the frame sum). NOT float `(key * 123456.789) % 1.0`: per_key is
+        # ~3e4, the product's f32 ULP is ~512, and the fractional part
+        # rounds to 0 for every sample — every ratio > 0 silently behaved
+        # as ratio 1.0.
         per_key = jnp.sum(xx.astype(jnp.float32), axis=(1, 2, 3))
-        r = jnp.abs(per_key * 123456.789) % 1.0
+        kbits = jax.lax.bitcast_convert_type(per_key, jnp.int32)
+        h = kbits * jnp.int32(-1640531527)  # 2654435761 mod 2^32, wraps
+        r = (h & jnp.int32(32767)).astype(jnp.float32) / 32768.0
         ivg = (r < ratio).astype(jnp.float32)
 
     ivg_e = ivg[:, None, None, None]

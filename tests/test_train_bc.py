@@ -130,3 +130,38 @@ def test_oreo_quantizer_masked_from_optimizer():
     diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                         state.params["quantizer"], new_state.params["quantizer"])
     assert max(jax.tree.leaves(diff)) == 0.0, "frozen quantizer was updated"
+
+
+def test_partial_gaze_ratio_selects_fraction():
+    """gaze.ratio must select ~ratio of samples (the old float content hash
+    lost all fractional bits at frame-sum magnitudes and selected ALL
+    samples for any ratio > 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gabril_carla_tpu.train.bc import bc_loss_fn, build_bc_models, init_bc_params
+    from gabril_carla_tpu.utils import default_bc_config
+
+    losses = {}
+    for ratio in (0.0, 0.5, 1.0):
+        cfg = default_bc_config()
+        cfg["data"].update(img_height=24, img_width=48, frame_stack=2, batch_size=32)
+        cfg["model"].update(embedding_dim=8, num_hiddens=16, num_residual_layers=1,
+                            num_residual_hiddens=8, z_dim=16)
+        cfg["gaze"].update(method="Reg", max_points=3, mask_sigma=4.0,
+                           ratio=ratio, lambda_weight=1.0)
+        cfg["training"]["compute_dtype"] = "float32"
+        models = build_bc_models(cfg)
+        params = init_bc_params(models, cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        batch = {
+            "obs_seq": jnp.asarray(rng.integers(0, 255, (32, 2, 24, 48, 1), dtype=np.uint8)),
+            "gaze_seq": jnp.asarray(rng.uniform(0, 1, (32, 2, 6)).astype(np.float32)),
+            "actions": jnp.asarray(rng.uniform(-1, 1, (32, 7)).astype(np.float32)),
+        }
+        _, m = bc_loss_fn(params, models, cfg, batch, jax.random.PRNGKey(2))
+        losses[ratio] = float(m["loss_reg"])
+    assert losses[0.0] == 0.0
+    assert losses[1.0] > 0.0
+    # half the samples selected -> a genuinely different weighted mean
+    assert losses[0.5] != losses[1.0]
