@@ -99,6 +99,7 @@ def main(argv=None):
             r, s, score,
             duration_game=float(one_state.t) * 0.05,
             duration_system=wall / len(pairs),
+            duration_system_mode="batch_amortized",
             route_length=float(one_spec.route_len),
         )
         write_stats_json(out, rec)

@@ -47,7 +47,13 @@ BLOCKED_SECONDS = 180.0
 IN_ROUTE_RADIUS = 30.0  # m corridor (InRouteTest:1387)
 COMPLETION_DIST = 10.0  # m-to-goal rule (RouteCompletionTest 99%/10m)
 COMPLETION_PCT = 99.0
-COLLISION_DEDUP_TIME = 2.0  # s between same-actor collision events
+COLLISION_RADIUS = 5.0  # m: collisions within this distance of the last one
+# count as one (CollisionTest.COLLISION_RADIUS, atomic_criteria.py:296)
+COLLISION_MAX_ID_TIME = 5.0  # s: same-actor collisions within this window
+# count as one (CollisionTest.MAX_ID_TIME, atomic_criteria.py:297)
+COLLISION_EPSILON = 0.1  # m/s: below this ego speed the collision is not the
+# ego's fault and is not counted (CollisionTest.EPSILON, atomic_criteria.py:298)
+WALKER_RADIUS = 0.35  # m: walker body radius for the OBB-vs-circle contact test
 MIN_ROUTE_TIMEOUT = 300.0  # s (timer.py:167-168)
 TIMEOUT_SPEED = 10000.0 / 3600.0  # route timeout scale: 10 km/h in m/s
 

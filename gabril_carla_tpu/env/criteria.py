@@ -92,20 +92,51 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     ) & veh.alive
     st = state.statics
     hit_s = _obb_overlap(ego.pos, ego.yaw, ego_ext, st.pos, st.yaw, st.half_extent) & st.alive
+    # walkers: ego OBB vs walker body circle — actual bbox contact, replacing
+    # the old center-distance circle so a pedestrian standing half a metre
+    # off the rear corner no longer scores the 0.5x penalty.
     wk = state.walkers
-    hit_w = (jnp.linalg.norm(wk.pos - ego.pos[None], axis=1) < (C.EGO_HALF_LEN + 0.4)) & wk.alive
-    # rough front-sector refinement for walkers (circle vs OBB is overkill)
-    # dedup: time window + "moved away since last event" radius
-    # (CollisionTest re-registration rule, atomic_criteria.py:296-298) —
-    # a deadlocked overlap counts once, not every cooldown period.
-    moved_away = jnp.linalg.norm(ego.pos - crit.last_collision_pos) > 4.0
-    cooldown_ok = (crit.collision_cooldown <= 0.0) & moved_away
-    any_v = jnp.any(hit_v) & cooldown_ok
-    any_w = jnp.any(hit_w) & cooldown_ok & ~any_v
-    any_s = jnp.any(hit_s) & cooldown_ok & ~any_v & ~any_w
+    rel = wk.pos - ego.pos[None, :]
+    cy, sy = jnp.cos(ego.yaw), jnp.sin(ego.yaw)
+    lx = rel[:, 0] * cy + rel[:, 1] * sy  # longitudinal in ego frame
+    ly = -rel[:, 0] * sy + rel[:, 1] * cy
+    gap_x = jnp.maximum(jnp.abs(lx) - C.EGO_HALF_LEN, 0.0)
+    gap_y = jnp.maximum(jnp.abs(ly) - C.EGO_HALF_WID, 0.0)
+    hit_w = (gap_x**2 + gap_y**2 < C.WALKER_RADIUS**2) & wk.alive
+
+    # Dedup per CollisionTest._count_collisions (atomic_criteria.py:296-298,
+    # 337-343, 374-384): (a) same actor id within MAX_ID_TIME counts once;
+    # (b) any collision within COLLISION_RADIUS of the last event's location
+    # counts once — the location filter clears, latched, when the ego moves
+    # away; (c) collisions while the ego is ~stationary are not its fault.
+    # Actor identity is the pool-slot index offset per pool.
+    t_now = state.t.astype(jnp.float32) * C.DT
+    nv, nw = hit_v.shape[0], hit_w.shape[0]
+    vid = jnp.arange(nv, dtype=jnp.int32)
+    wid = nv + jnp.arange(nw, dtype=jnp.int32)
+    sid = nv + nw + jnp.arange(hit_s.shape[0], dtype=jnp.int32)
+    id_active = (crit.last_collision_id >= 0) & (
+        t_now - crit.last_collision_time <= C.COLLISION_MAX_ID_TIME
+    )
+    loc_valid = crit.collision_loc_valid & (
+        jnp.linalg.norm(ego.pos - crit.last_collision_pos) <= C.COLLISION_RADIUS
+    )
+    blocked_all = loc_valid | (ego.speed < C.COLLISION_EPSILON)
+    elig_v = hit_v & ~(id_active & (vid == crit.last_collision_id))
+    elig_w = hit_w & ~(id_active & (wid == crit.last_collision_id))
+    elig_s = hit_s & ~(id_active & (sid == crit.last_collision_id))
+    any_v = jnp.any(elig_v) & ~blocked_all
+    any_w = jnp.any(elig_w) & ~blocked_all & ~any_v
+    any_s = jnp.any(elig_s) & ~blocked_all & ~any_v & ~any_w
     fired = any_v | any_w | any_s
-    new_cool = jnp.where(fired, C.COLLISION_DEDUP_TIME, jnp.maximum(crit.collision_cooldown - C.DT, 0.0))
+    event_id = jnp.where(
+        any_v, vid[jnp.argmax(elig_v)],
+        jnp.where(any_w, wid[jnp.argmax(elig_w)], sid[jnp.argmax(elig_s)]),
+    )
+    new_id = jnp.where(fired, event_id, crit.last_collision_id)
+    new_time = jnp.where(fired, t_now, crit.last_collision_time)
     new_last = jnp.where(fired, ego.pos, crit.last_collision_pos)
+    new_loc_valid = jnp.where(fired, True, loc_valid)
 
     # --- blocked
     blocked_time = jnp.where(ego.speed < C.BLOCKED_SPEED, crit.blocked_time + C.DT, 0.0)
@@ -165,8 +196,10 @@ def criteria_step(spec, state: SceneState) -> SceneState:
         collisions_vehicle=crit.collisions_vehicle + any_v.astype(jnp.int32),
         collisions_pedestrian=crit.collisions_pedestrian + any_w.astype(jnp.int32),
         collisions_static=crit.collisions_static + any_s.astype(jnp.int32),
-        collision_cooldown=new_cool,
+        last_collision_id=new_id,
+        last_collision_time=new_time,
         last_collision_pos=new_last,
+        collision_loc_valid=new_loc_valid,
         outside_lane_m=outside_m,
         driven_m=crit.driven_m + step_m,
         ms_ego_sum=ego_sum, ms_amb_sum=amb_sum, ms_ticks=ticks,

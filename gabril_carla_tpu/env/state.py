@@ -113,8 +113,12 @@ class Criteria:
     collisions_vehicle: jnp.ndarray  # int32 event counts
     collisions_pedestrian: jnp.ndarray
     collisions_static: jnp.ndarray
-    collision_cooldown: jnp.ndarray  # f32 seconds left in dedup window
+    last_collision_id: jnp.ndarray  # int32 global actor id of the last event
+    # (-1 = none); same-id events within COLLISION_MAX_ID_TIME are one event
+    last_collision_time: jnp.ndarray  # f32 sim seconds of the last event
     last_collision_pos: jnp.ndarray  # [2] ego position at the last event
+    collision_loc_valid: jnp.ndarray  # bool: location filter armed; cleared
+    # (latched) once the ego moves COLLISION_RADIUS away (atomic_criteria.py:337-343)
     red_light: jnp.ndarray  # int32
     stop_infraction: jnp.ndarray  # int32
     stop_pending: jnp.ndarray  # bool: inside some stop zone, not yet stopped
@@ -139,7 +143,10 @@ class Criteria:
         f0 = jnp.asarray(0.0)
         return Criteria(
             collisions_vehicle=i0, collisions_pedestrian=i0, collisions_static=i0,
-            collision_cooldown=f0, last_collision_pos=jnp.full((2,), 1e9),
+            last_collision_id=jnp.asarray(-1, jnp.int32),
+            last_collision_time=jnp.asarray(-1e9),
+            last_collision_pos=jnp.full((2,), 1e9),
+            collision_loc_valid=jnp.asarray(False),
             red_light=i0, stop_infraction=i0,
             stop_pending=jnp.asarray(False), stop_done=jnp.zeros((C.N_STOPS,), bool),
             outside_lane_m=f0, driven_m=f0,

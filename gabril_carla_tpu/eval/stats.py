@@ -28,8 +28,15 @@ _INFRACTION_KEYS = [
 
 
 def route_record(route_id: int, seed: int, score: dict, duration_game: float,
-                 duration_system: float = -1.0, route_length: float = 0.0) -> dict:
-    """One stats.json record from a compute_score() dict."""
+                 duration_system: float = -1.0, route_length: float = 0.0,
+                 duration_system_mode: str = "wall") -> dict:
+    """One stats.json record from a compute_score() dict.
+
+    duration_system_mode records what duration_system means: "wall" for a
+    single timed run, "batch_amortized" when many routes ran vmapped in one
+    device batch and the batch wall time is smeared uniformly (the per-route
+    number is then an amortized cost, not a per-route measurement).
+    """
     s = {k: float(np.asarray(v)) for k, v in score.items()}
     infractions = {}
     for score_key, json_key, msg in _INFRACTION_KEYS:
@@ -81,6 +88,7 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
             "route_length": round(route_length, ROUND),
             "duration_game": round(duration_game, ROUND),
             "duration_system": round(duration_system, ROUND),
+            "duration_system_mode": duration_system_mode,
         },
     }
     # _checkpoint wrapper so the reference's eval/calc_scores.py:77

@@ -54,11 +54,14 @@ GROUND_TILES = -(-(H - 1 - 90) * W // (BLOCK_ROWS * LANES))
 LANE_WIDTH = 3.5
 
 
-def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actors: int):
+def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
+                   n_actors: int, view_route: int):
     """One [BLOCK_ROWS, LANES] tile of the frame.
 
     cam_ref:   [16, 1]  camera basis + weather scalars (camera-relative frame)
-    route_ref: [view, 8] columns: c1 c2 c3 dx dy e3 (hoisted quadratic)
+    route_ref: [view, 8] columns: c1 c2 c3 dx dy e3 lo hi (hoisted quadratic
+               + per-point road corridor); entries past view_route are
+               scenario-flow points — crossing-road surfaces, no markings
     boxes_ref: [n_actors, 8] columns: u0 u1 v0 v1 depth color valid pad
     """
     i = pl.program_id(0)
@@ -90,9 +93,9 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
     gx = z * fwd_x + x * rgt_x
     gy = z * fwd_y + x * rgt_y
 
-    # ---- streaming route distance field (ground tiles only)
+    # ---- streaming terrain distance field (ground tiles only)
     def rbody(k, carry):
-        best_t, bdx, bdy, be3, bs = carry
+        best_t, bdx, bdy, be3, bs, blo, bhi = carry
         t = gx * route_ref[k, 0] + gy * route_ref[k, 1] + route_ref[k, 2]
         upd = t < best_t
         return (
@@ -101,31 +104,37 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
             jnp.where(upd, route_ref[k, 4], bdy),
             jnp.where(upd, route_ref[k, 5], be3),
             jnp.where(upd, jnp.float32(k), bs),
+            jnp.where(upd, route_ref[k, 6], blo),
+            jnp.where(upd, route_ref[k, 7], bhi),
         )
 
     zero = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
-    init = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32), zero, zero, zero, zero)
+    init = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32),
+            zero, zero, zero, zero, zero, zero)
 
     def ground_loop(_):
         out = jax.lax.fori_loop(0, view, rbody, init, unroll=True)
-        return out[1], out[2], out[3], out[4]
+        return out[1:]
 
     def sky_loop(_):
-        return zero, zero, zero, zero
+        return zero, zero, zero, zero, zero, zero
 
     # sky-only tiles skip the route loop entirely (bottom-first layout packs
     # every ground pixel into the first GROUND_TILES tiles)
-    bdx, bdy, be3, s_off = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
+    bdx, bdy, be3, s_off, blo, bhi = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
     # lateral solve deferred out of the loop: positive = driver's left
     signed = bdy * gx - bdx * gy + be3
     near_s = start_s + s_off
+    # entries past view_route are scenario-flow points: road, but no markings
+    is_route = s_off < jnp.float32(view_route)
 
     # ---- terrain shading (raster.py contract, incl. weather)
     lw = LANE_WIDTH
-    on_road = (signed > -0.5 * lw - 0.3) & (signed < 1.5 * lw + 0.3)
+    on_road = (signed > blo) & (signed < bhi)
     dash = jnp.mod(near_s, 4.0) < 2.0
-    center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash
-    edge = (jnp.abs(signed + 0.5 * lw) < 0.15) | (jnp.abs(signed - 1.5 * lw) < 0.15)
+    center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash & is_route
+    edge = ((jnp.abs(signed + 0.5 * lw) < 0.15)
+            | (jnp.abs(signed - 1.5 * lw) < 0.15)) & is_route
     road_col = ROAD * (1.0 - 0.30 * wet)
     terrain = jnp.where(on_road, road_col, GRASS)
     terrain = jnp.where(center_line | edge, MARK, terrain)
@@ -163,16 +172,19 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int, n_actor
     img_ref[:] = jnp.where(in_frame, jnp.clip(img, 0.0, 1.0), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("view", "n_actors", "interpret"))
+@functools.partial(jax.jit, static_argnames=("view", "n_actors", "view_route", "interpret"))
 def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actors: int,
-                        interpret: bool = False):
+                        view_route: int = 128, interpret: bool = False):
     """cam_scalars [16], route_cols [view, 8], actor_boxes [n_actors, 8]
     -> grayscale frame [H, W] in [0, 1].
 
     Inputs are built by raster._pallas_inputs (camera-relative hoisted route
-    columns + compacted box list). ``interpret=True`` runs the kernel in the
-    Pallas interpreter (CPU CI parity tests vs the XLA oracle in raster.py)."""
-    kernel = functools.partial(_render_kernel, view=view, n_actors=n_actors)
+    + flow columns, compacted box list); view_route = number of leading
+    ego-route entries (the rest are scenario-flow road points).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU CI
+    parity tests vs the XLA oracle in raster.py)."""
+    kernel = functools.partial(_render_kernel, view=view, n_actors=n_actors,
+                               view_route=view_route)
     img = pl.pallas_call(
         kernel,
         interpret=interpret,

@@ -57,30 +57,10 @@ def _ground_points(cam, fwd, right):
 
 ROUTE_VIEW = 128  # route points visible (1 m spacing; camera depth caps at 120 m)
 ROUTE_BEHIND = 16
-
-
-def _route_distance_field(spec, pts_flat, route_idx):
-    """Signed lateral distance + arclength of nearest visible route point.
-
-    dist^2 = |p|^2 + |q|^2 - 2 p.q -> one [n_pix, ROUTE_VIEW] MXU matmul over
-    a dynamic window around the ego's route index (the camera sees ~120 m;
-    the full 512-point buffer would burn HBM under vmap for nothing).
-    """
-    start = jnp.clip(route_idx - ROUTE_BEHIND, 0, spec.route_xy.shape[0] - ROUTE_VIEW)
-    q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_VIEW, 2))
-    qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
-    valid = (start + jnp.arange(ROUTE_VIEW)) < spec.n_route
-    p2 = jnp.sum(pts_flat**2, axis=1, keepdims=True)  # [N, 1]
-    q2 = jnp.sum(q**2, axis=1)[None, :]  # [1, V]
-    d2 = p2 + q2 - 2.0 * (pts_flat @ q.T)  # [N, V] MXU
-    d2 = jnp.where(valid[None, :], d2, jnp.inf)
-    idx = jnp.argmin(d2, axis=1)  # [N]
-    near = q[idx]
-    dirs = qd[idx]
-    rel = pts_flat - near
-    # positive = driver's left in the y-south frame
-    signed_left = -(dirs[:, 0] * rel[:, 1] - dirs[:, 1] * rel[:, 0])
-    return signed_left, (start + idx).astype(jnp.float32)
+FLOW_VIEW = 32  # scenario flow polyline entries appended to the terrain field
+FLOW_STRIDE = 4  # 32 x 4 m covers the full 128-point flow; signed lateral
+# distance is a perpendicular projection, so along-polyline subsampling only
+# errs with curvature (flows are straight or gently curved crossing roads)
 
 
 def _project(cam, fwd, right, pts, z_world):
@@ -243,15 +223,21 @@ def _compact_boxes(boxes):
 def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
     """Assemble the kernel operands: hoisted route quadratic + compact boxes.
 
-    The route-distance argmin inside the kernel compares
+    The terrain-distance argmin inside the kernel compares
     t = |g|^2 - 2 g.q + |q|^2 (minus the constant |g|^2) — per-point scalars
     c1=-2qx, c2=-2qy, c3=|q|^2(+invalid bias) are precomputed here, along
     with the direction (dx, dy) and e3 = dx*qy - dy*qx so the signed lateral
-    distance is a single post-loop FMA. All coordinates are CAMERA-RELATIVE:
-    world-absolute magnitudes (~1e3) would cancel the ~m^2 argmin contrasts
-    out of f32.
+    distance is a single post-loop FMA. Columns 6/7 carry the per-point road
+    corridor [lo, hi]: the ego route keeps the asymmetric own+opposite-lane
+    corridor; appended scenario-flow entries (the crossing road at a
+    junction — CrossingBicycleFlow et al ride it) get a symmetric one-lane
+    corridor, so crossing traffic renders on road instead of grass (the
+    reference's UE4 renders full town geometry, SURVEY §2 L0).
+    All coordinates are CAMERA-RELATIVE: world-absolute magnitudes (~1e3)
+    would cancel the ~m^2 argmin contrasts out of f32.
     """
     ego = state.ego
+    lw = C.LANE_WIDTH
     start = jnp.clip(ego.route_idx - ROUTE_BEHIND, 0, spec.route_xy.shape[0] - ROUTE_VIEW)
     q = jax.lax.dynamic_slice(spec.route_xy, (start, 0), (ROUTE_VIEW, 2)) - cam[None]
     qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
@@ -260,7 +246,22 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
     e3 = qd[:, 0] * q[:, 1] - qd[:, 1] * q[:, 0]
     route_cols = jnp.stack(
         [-2.0 * q[:, 0], -2.0 * q[:, 1], c3, qd[:, 0], qd[:, 1], e3,
-         jnp.zeros(ROUTE_VIEW), jnp.zeros(ROUTE_VIEW)], axis=1
+         jnp.full(ROUTE_VIEW, -0.5 * lw - 0.3), jnp.full(ROUTE_VIEW, 1.5 * lw + 0.3)],
+        axis=1,
+    )
+    # scenario flow polyline (slot 0: the explicit/crossing flow) as extra
+    # terrain sources. Slot 1 (oncoming "TwoWays") rides the ego's own road
+    # and is already inside the route corridor.
+    fsel = jnp.arange(FLOW_VIEW) * FLOW_STRIDE
+    fq = spec.flow_xy[0][fsel] - cam[None]
+    fqd = spec.flow_dir[0][fsel]
+    fvalid = (fsel.astype(jnp.float32) <= spec.flow_len[0]) & spec.flow_enabled[0]
+    fc3 = jnp.sum(fq * fq, axis=1) + jnp.where(fvalid, 0.0, 1e12)
+    fe3 = fqd[:, 0] * fq[:, 1] - fqd[:, 1] * fq[:, 0]
+    flow_cols = jnp.stack(
+        [-2.0 * fq[:, 0], -2.0 * fq[:, 1], fc3, fqd[:, 0], fqd[:, 1], fe3,
+         jnp.full(FLOW_VIEW, -0.5 * lw - 0.3), jnp.full(FLOW_VIEW, 0.5 * lw + 0.3)],
+        axis=1,
     )
     cam_scalars = jnp.concatenate(
         [fwd, right,
@@ -268,7 +269,7 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
          weather[1:],  # precip01, fog01, sun_bright, wet01
          jnp.zeros(6)]
     )
-    return cam_scalars, route_cols, _compact_boxes(boxes)
+    return cam_scalars, jnp.concatenate([route_cols, flow_cols]), _compact_boxes(boxes)
 
 
 def render_frame(spec, state) -> jnp.ndarray:
@@ -288,31 +289,36 @@ def render_frame(spec, state) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         from .pallas_raster import render_frame_pallas
 
-        cam_scalars, route_cols, cboxes = _pallas_inputs(spec, state, cam, fwd, right,
-                                                         boxes, weather)
-        return render_frame_pallas(cam_scalars, route_cols, cboxes, ROUTE_VIEW,
-                                   cboxes.shape[0])
+        cam_scalars, cols, cboxes = _pallas_inputs(spec, state, cam, fwd, right,
+                                                   boxes, weather)
+        return render_frame_pallas(cam_scalars, cols, cboxes, cols.shape[0],
+                                   cboxes.shape[0], ROUTE_VIEW)
 
     return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather)
 
 
 def _render_frame_xla(spec, state, cam, fwd, right, boxes, weather) -> jnp.ndarray:
-    ego = state.ego
     cloud, precip, fog, bright, wet = weather[0], weather[1], weather[2], weather[3], weather[4]
     ground, depth_map, on_ground = _ground_points(cam, fwd, right)
 
-    signed, near_s = _route_distance_field(spec, ground.reshape(-1, 2), ego.route_idx)
-    signed = signed.reshape(H, W)
-    near_s = near_s.reshape(H, W)
+    # terrain distance field over the same hoisted columns the kernel
+    # consumes (route window + scenario-flow entries, camera-relative)
+    cam_scalars, cols, _ = _pallas_inputs(spec, state, cam, fwd, right, boxes, weather)
+    g = (ground - cam[None, None]).reshape(-1, 2)
+    t = g @ cols[:, :2].T + cols[None, :, 2]  # [N, V] MXU
+    idx = jnp.argmin(t, axis=1)  # [N]
+    sel = cols[idx]
+    signed = (sel[:, 4] * g[:, 0] - sel[:, 3] * g[:, 1] + sel[:, 5]).reshape(H, W)
+    on_road = (signed > sel[:, 6].reshape(H, W)) & (signed < sel[:, 7].reshape(H, W))
+    is_route = (idx < ROUTE_VIEW).reshape(H, W)
+    near_s = (cam_scalars[5] + idx.astype(jnp.float32)).reshape(H, W)
 
-    # terrain: own lane [-lw/2, lw/2] around centerline; opposite lane to the left
+    # lane markings (ego route only): dashed center divider, solid edges
     lw = C.LANE_WIDTH
-    on_road = (signed > -0.5 * lw - 0.3) & (signed < 1.5 * lw + 0.3)
-    # lane markings: dashed center divider at +lw/2, solid edges
     dash = jnp.mod(near_s, 4.0) < 2.0
-    center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash
-    edge_r = jnp.abs(signed + 0.5 * lw) < 0.15
-    edge_l = jnp.abs(signed - 1.5 * lw) < 0.15
+    center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash & is_route
+    edge_r = (jnp.abs(signed + 0.5 * lw) < 0.15) & is_route
+    edge_l = (jnp.abs(signed - 1.5 * lw) < 0.15) & is_route
     road_col = ROAD * (1.0 - 0.30 * wet)  # wet asphalt darkens
     terrain = jnp.where(on_road, road_col, GRASS)
     terrain = jnp.where(center_line | edge_r | edge_l, MARK, terrain)

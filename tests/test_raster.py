@@ -50,7 +50,8 @@ def _assert_kernel_matches_oracle(spec, st):
 
     cam_scalars, route_cols, cboxes = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
     img = np.asarray(
-        render_frame_pallas(cam_scalars, route_cols, cboxes, R.ROUTE_VIEW, cboxes.shape[0], interpret=True)
+        render_frame_pallas(cam_scalars, route_cols, cboxes, route_cols.shape[0],
+                            cboxes.shape[0], R.ROUTE_VIEW, interpret=True)
     )
     d = np.abs(img - oracle)
     # tie-breaking at dash/edge boundaries flips a handful of pixels
@@ -104,6 +105,42 @@ def test_weather_keyframe_interpolation():
     w0 = np.asarray(R.weather_now(spec, st.replace(ego=st.ego.replace(
         route_idx=jnp.asarray(0, jnp.int32)))))
     assert w0[2] < 0.01
+
+
+def crossing_scene():
+    """Straight route with a perpendicular bicycle flow crossing at x=60."""
+    wps = np.stack([np.arange(0.0, 160, 2.0), np.zeros(80)], 1).astype(np.float32)
+    spec = jax.tree.map(jnp.asarray, build_world_spec({
+        "id": 2, "town": "T", "waypoints": wps,
+        "scenarios": [{"type": "CrossingBicycleFlow", "trigger": (40.0, 0.0, 0.0),
+                       "start_actor_flow": (60.0, -40.0), "end_actor_flow": (60.0, 40.0),
+                       "flow_speed": 8.0, "source_dist_interval": (12.0, 25.0)}],
+        "weather": [0, 0, 0, 90]}))
+    env = DrivingEnv()
+    st = env.reset(spec, jax.random.PRNGKey(0))
+    # 30 m short of the crossing: the crossing road fills a clear band
+    st = st.replace(ego=st.ego.replace(pos=jnp.asarray([30.0, 0.0]),
+                                       route_idx=jnp.asarray(30, jnp.int32)))
+    return spec, st
+
+
+def test_crossing_flow_renders_road_surface():
+    """The crossing road at a junction renders as road, not grass
+    (UE4 renders full town geometry, SURVEY §2 L0; round-2 gap #4)."""
+    spec, st = crossing_scene()
+    with_flow = np.asarray(R.render_frame(spec, st))
+    spec_off = spec.replace(flow_enabled=spec.flow_enabled.at[0].set(False))
+    without = np.asarray(R.render_frame(spec_off, st))
+    # pixels that flipped from grass to road-ish on the crossing road
+    changed = (np.abs(without - R.GRASS) < 0.1) & (with_flow < without - 0.05)
+    assert changed.sum() > 300
+    # and the ego's own road is untouched (bottom center)
+    np.testing.assert_allclose(with_flow[150:, 140:180], without[150:, 140:180])
+
+
+def test_pallas_kernel_matches_oracle_with_crossing_flow():
+    spec, st = crossing_scene()
+    _assert_kernel_matches_oracle(spec, st)
 
 
 def test_analytic_gaze_points_valid():
