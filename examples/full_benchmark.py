@@ -57,6 +57,13 @@ def main():
     p.add_argument("--confounded", action="store_true",
                    help="bake expert-action overlays into training frames and evaluate with the "
                         "two-pass confounded protocol (build_confunded_obs.py + bc_agent.py:321-352)")
+    p.add_argument("--sparse_gaze", action="store_true",
+                   help="table-3 control: replace the dense analytic gaze with a sparse "
+                        "human-like signal — sole top-hazard fixation, no road point, ~35%% "
+                        "of frames dropped (eye-tracker validity statistics)")
+    p.add_argument("--clip_norm", type=float, default=None,
+                   help="override optimizer.clip_norm (0 disables; de-confounds the "
+                        "lambda ablation from gradient clipping)")
     args = p.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -117,6 +124,21 @@ def main():
                             actions=store.flat_actions, lengths=store.lengths,
                             records=np.asarray(expert_records, dtype=object))
         print(f"[collect] cached to {cache}", flush=True)
+
+    # ---------- 1a'. sparse-gaze variant (table-3 control): the reference's
+    # rising ratio curve rides sparse human/VLM gaze; the dense analytic gaze
+    # (road fixation every frame) saturates at 25% of frames. This keeps one
+    # top-hazard fixation per frame and drops ~35% of frames entirely.
+    if args.sparse_gaze:
+        store.finalize()
+        g = store.flat_gazes  # [T, P*2]
+        sparse = np.full_like(g, -1.0)
+        sparse[:, 0:2] = g[:, 2:4]  # top-hazard actor; road point dropped
+        rng_sp = np.random.default_rng(123)
+        sparse[rng_sp.random(len(g)) < 0.35] = -1.0
+        g[:] = sparse
+        valid = (g[:, 0] >= 0).mean()
+        print(f"[sparse_gaze] {100*valid:.0f}% of frames keep one fixation", flush=True)
 
     # ---------- 1a. confounded variant: overlay recorded actions onto frames
     if args.confounded:
@@ -255,6 +277,8 @@ def run_seed(train_seed, args, out, store, shared_dd, expert_agg, n_frames,
         if ratio is not None:
             cfg["gaze"]["ratio"] = ratio
         cfg["gaze"]["temporal_flag"] = temporal
+        if args.clip_norm is not None:
+            cfg["optimizer"]["clip_norm"] = args.clip_norm
         tag = (method_spec.replace(":", "-").replace("@", "-l")
                .replace("%", "-r").replace("!", "-"))
         cfg["training"].update(epochs=args.epochs, save_interval=args.epochs,

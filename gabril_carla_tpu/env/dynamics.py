@@ -64,7 +64,6 @@ def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, ego_speed=0.0,
     #  * ego waiting/slow: only an imminent overlap brakes the NPC — else
     #    flows stall next to a yielding ego and the junction deadlocks.
     ego_fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
-    ego_future = ego_pos + ego_fwd * ego_speed * 0.9
 
     def blocked_by(p, f_scale, lat):
         rel_e = p[None] - pool.pos
@@ -73,7 +72,15 @@ def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, ego_speed=0.0,
         return (f_e > 0.0) & (f_e < f_scale * look) & (jnp.abs(l_e) < lat)
 
     committed = ego_speed > 1.5
-    wide = blocked_by(ego_pos, 1.3, 3.0) | blocked_by(ego_future, 1.3, 3.0)
+    # swept-path anticipation for a committed ego: a perpendicular crosser
+    # only enters an NPC's 3 m lateral corridor ~1 s before impact, far too
+    # late for a 12 m/s bike (8 m stopping distance) — so check the ego's
+    # extrapolated positions out to ~2.4 s, not just one 0.9 s step
+    # (round-3 3100 trace: flow bikes hit the crossing ego's flank at
+    # 4-7 m/s after braking from only ~15 m out).
+    wide = blocked_by(ego_pos, 1.3, 3.0)
+    for k in (0.8, 1.6, 2.4):
+        wide = wide | blocked_by(ego_pos + ego_fwd * ego_speed * k, 1.3, 3.0)
     narrow = blocked_by(ego_pos, 1.0, 2.2)
     block_e = narrow | (wide & committed)
     # vs other NPCs

@@ -198,7 +198,25 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     to_cross = cross_pt[None] - veh.pos
     closing_cross = jnp.sum(to_cross * vdir, axis=1)  # + if heading toward it
     flow = veh.alive & (veh.mode == 1)
-    imminent = flow & (closing_cross > -1.0) & (closing_cross < 1.2 * jnp.maximum(veh.speed, 3.0))
+    # gap acceptance: a crosser arriving within ~1.9 s blocks entry (the ego
+    # needs ~1.7 s to push its nose through the crossing lane from the hold
+    # line; round-2's 1.2 s horizon committed into bikes one second out).
+    # PATIENCE: dense flows (12-25 m gaps ~ 1-2 s headways) may never open a
+    # 1.9 s gap — a human waits a few seconds, then accepts a tighter gap,
+    # then nudges in and forces the flow to yield (TrafficManager negotiation;
+    # the NPC swept-path anticipation in dynamics.py brakes crossers ~2.4 s
+    # out for a committed ego). scenario.aux is the junction wait clock
+    # (scenarios._junction_wait): latched through the launch, cleared only
+    # once the ego is through the crossing.
+    waited = jnp.where(stype == 4, state.scenario.aux, 0.0)
+    # escalating patience: 1.9 s -> 1.2 s -> 0.9 s. Never below 0.9 s: a
+    # 12 m/s bike needs v^2/(2*9) = 8 m to stop, so launching inside its
+    # stopping distance is a guaranteed hit no matter who yields.
+    horizon = jnp.where(
+        waited > 20.0, 0.7,
+        jnp.where(waited > 10.0, 0.9, jnp.where(waited > 5.0, 1.2, 1.9)))
+    imminent = flow & (closing_cross > -1.0) & (
+        closing_cross < horizon * jnp.maximum(veh.speed, 3.0))
     # a SLOW flow actor inside the junction blocks entry (it is recovering
     # from its own yield and will accelerate); fast ones are handled by the
     # time-to-arrival gap — treating any occupancy as busy deadlocks on
@@ -206,10 +224,19 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     in_box = flow & (veh.speed < 2.0) & (jnp.linalg.norm(veh.pos - cross_pt[None], axis=1) < 8.0)
     flow_busy = jnp.any(imminent | in_box)
     yield_cross = crosses & flow_busy & (s_ego > cross_s - 12.0) & (s_ego < cross_s - 6.0)
+    # creep guard: the hold line is soft (braking from the zone edge leaves
+    # momentum), so an ego that drifted just past it, slow, with the flow
+    # busy, must stop NOW — limping into the crossing at 2 m/s maximizes
+    # exposure (the round-3 3100 trace: every collision was a v~2 entry).
+    # Past cross_s-4.5 the nose is already in the lane: committing is safer.
+    yield_cross |= (
+        crosses & flow_busy & (s_ego >= cross_s - 6.0) & (s_ego < cross_s - 4.5)
+        & (ego.speed < 3.5)
+    )
     # once committed, clear the junction briskly (minimum exposure time) and
     # don't brake for crossers mid-lane — their TrafficManager-parity
     # collision avoidance yields to a vehicle already in the junction
-    in_junction = crosses & (s_ego >= cross_s - 6.0) & (s_ego <= cross_s + 6.0)
+    in_junction = crosses & (s_ego >= cross_s - 6.0) & (s_ego <= cross_s + 6.0) & ~yield_cross
     v_target = jnp.where(in_junction, jnp.maximum(v_target, CRUISE_SPEED), v_target)
     hazard = hazard | (cross_hazard & ~in_junction)
 
@@ -236,8 +263,12 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     hold_light = jnp.any(approaching & (tl_color != GREEN))
 
     brake_on = hazard | yield_cross | yield_walk | must_stop | hold_light | wait_for_gap
-    # commit hard through a junction crossing: exposure time is the risk
-    throttle_cap = jnp.where(in_junction, 1.0, 0.75)
+    # commit hard through a junction crossing: exposure time is the risk.
+    # Launching from the hold line after a wait gets the same full throttle —
+    # a slow roll-in maximizes the time spent inside the crossing lane.
+    launching = crosses & (waited > 0.5) & (s_ego > cross_s - 12.0) & (s_ego < cross_s + 6.0)
+    throttle_cap = jnp.where(in_junction | launching, 1.0, 0.75)
+    v_target = jnp.where(launching & ~brake_on, jnp.maximum(v_target, CRUISE_SPEED), v_target)
     throttle = jnp.clip(0.5 * (v_target - ego.speed), 0.0, throttle_cap)
     throttle = jnp.where(brake_on, 0.0, throttle)
     brake = jnp.where(brake_on, 1.0, 0.0)

@@ -274,6 +274,26 @@ def _hard_brake(spec, state: SceneState) -> SceneState:
     return state.replace(vehicles=veh, scenario=sc.replace(phase=phase, aux=aux))
 
 
+def _junction_wait(spec, state: SceneState) -> SceneState:
+    """Junction crossing-flow family: negotiation wait clock.
+
+    scenario.aux accumulates the seconds the ego has dwelt slowly just short
+    of the flow crossing (scen_aux[0] = crossing arclength, set at build).
+    Unlike criteria.blocked_time it does NOT reset when the ego starts
+    moving — it clears only once the ego is through — so the expert's
+    patience escalation (accept tighter gaps, then force entry and let the
+    NPC yield handshake brake the flow) survives the launch itself. CARLA's
+    TrafficManager negotiation is likewise stateful (SURVEY §2 TM row).
+    """
+    sc = state.scenario
+    s_ego = _ego_s(state).astype(jnp.float32)
+    cross_s = spec.scen_aux[0]
+    waiting = (s_ego > cross_s - 14.0) & (s_ego < cross_s - 3.0) & (state.ego.speed < 2.5)
+    aux = jnp.where(waiting, sc.aux + C.DT, sc.aux)
+    aux = jnp.where(s_ego > cross_s + 2.0, 0.0, aux)
+    return state.replace(scenario=sc.replace(aux=aux))
+
+
 def _control_loss(spec, state: SceneState) -> SceneState:
     """ControlLoss: ~1.5 s of steering disturbance at the trigger (the
     reference's AddNoiseToVehicle atoms, atomic_behaviors.py:1837-1963)."""
@@ -294,7 +314,7 @@ _BRANCHES = [
     _parking_cut_in,  # 1 cut-in family
     _noop,  # 2 lane-obstacle family: statics (+ oncoming flow), no phases
     _walker_crossing,  # 3 blocker + crossing walker
-    _noop,  # 4 junction crossing-flow family: flow-only
+    _junction_wait,  # 4 junction crossing-flow family: flow + wait clock
     _noop,  # 5 VehicleOpensDoorTwoWays: statics + oncoming flow
     _walker_crossing,  # 6 PedestrianCrossing
     _noop,  # 7 merge-into-flow family: flow-only

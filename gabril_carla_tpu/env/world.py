@@ -546,6 +546,12 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             pts = [p_c + perp * 45.0, p_c - perp * 45.0]
         kind = 1 if "Bicycle" in name else 0
         set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=kind)
+        # crossing arclength on the ego route (nearest route point to the
+        # flow polyline): the junction wait clock (scenarios._junction_wait)
+        # and the expert's hold-line logic anchor on it
+        fpoly = resample_polyline(np.asarray(pts, np.float32), 1.0)
+        d_rf = np.linalg.norm(xy[:, None, :] - fpoly[None, :, :], axis=-1).min(axis=1)
+        scen_aux[0] = float(np.argmin(d_rf))
 
     elif stype == 5:  # VehicleOpensDoorTwoWays
         dist = float(scen.get("distance", 50.0))

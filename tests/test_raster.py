@@ -162,6 +162,37 @@ def test_analytic_gaze_points_valid():
     assert np.all((valid >= 0) & (valid <= 1))
 
 
+def test_analytic_gaze_prefers_closing_hazard_over_near_parked():
+    """Hazard-weighted gaze: a crossing vehicle closing at speed outranks a
+    nearer parked car (round-2 AGIL falsification: depth-ordered gaze wasted
+    slots on parked scenery)."""
+    wps = np.stack([np.arange(0.0, 200, 2.0), np.zeros(100)], 1).astype(np.float32)
+    spec = jax.tree.map(jnp.asarray, build_world_spec({
+        "id": 1, "town": "T", "waypoints": wps, "scenarios": [],
+        "weather": [0, 0, 0, 90]}))
+    env = DrivingEnv()
+    st = env.reset(spec, jax.random.PRNGKey(0))
+    st = st.replace(ego=st.ego.replace(pos=jnp.asarray([0.0, 0.0]),
+                                       speed=jnp.asarray(6.0)))
+    v = st.vehicles
+    # slot 0: parked car 12 m ahead, slightly right; slot 1: crossing car
+    # 30 m ahead closing at 10 m/s from the left (ambient spawns cleared)
+    alive = jnp.zeros_like(v.alive).at[0].set(True).at[1].set(True)
+    v = v.replace(
+        pos=v.pos.at[0].set(jnp.asarray([12.0, 2.5])).at[1].set(jnp.asarray([30.0, -12.0])),
+        yaw=v.yaw.at[1].set(jnp.asarray(np.pi / 2)),  # +y motion, toward route
+        speed=v.speed.at[1].set(10.0),
+        alive=alive,
+    )
+    st = st.replace(vehicles=v)
+    g = np.asarray(R.analytic_gaze(spec, st, max_points=2)).reshape(-1, 2)
+    # one actor slot only: it must go to the crossing car (left half of the
+    # screen, since +y in CARLA's y-south frame is the driver's right... the
+    # crosser sits at y=-12 -> driver's left -> u < center)
+    assert g[1, 0] >= 0, "actor slot must be valid"
+    assert g[1, 0] < 0.5, f"actor slot should fixate the crossing car, got u={g[1, 0]:.2f}"
+
+
 def test_confounded_overlay_draws_brake_dot():
     img = jnp.zeros((180, 320))
     out = np.asarray(R.confounded_overlay(img, jnp.asarray([0, 0.5, 1.0, 0, 0, 0, 0])))
