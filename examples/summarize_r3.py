@@ -1,0 +1,102 @@
+"""Summarize round-3 suites: clean core, CONFOUNDED deltas, sparse-gaze
+ratio curve, lambda/clip ablations — with the reference-ordering checks.
+
+Reads results_r3/{core,conf,sparse,lam,clip0,rest}/**/report.json (one per
+training seed, written by examples/full_benchmark.py) and prints the
+RESULTS.md tables. The confounded section checks the reference's two
+headline orderings (draw_plot/data/Confounded.csv): BC degrades MORE than
+GABRIL under confounding, and GABRIL > BC on the confounded eval.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def collect(root: Path, sub: str):
+    data = defaultdict(lambda: {"seen": [], "unseen": []})
+    for rep_path in sorted((root / sub).glob("**/report.json")):
+        rep = json.loads(rep_path.read_text())
+        for m, d in rep.get("methods", {}).items():
+            data[m]["seen"].append(d["seen"])
+            data[m]["unseen"].append(d["unseen"])
+    return data
+
+
+def stat(v):
+    return float(np.mean(v)), float(np.std(v)), len(v)
+
+
+def table(data, title):
+    if not data:
+        return
+    print(f"\n### {title}\n")
+    print("| Method | Seen (mean ± std over seeds) | Unseen | seeds |")
+    print("|---|---|---|---|")
+    for m in sorted(data, key=lambda m: -np.mean(data[m]["seen"])):
+        sm, ss, n = stat(data[m]["seen"])
+        um, us, _ = stat(data[m]["unseen"])
+        print(f"| {m} | {sm:.1f} ± {ss:.1f} | {um:.1f} ± {us:.1f} | {n} |")
+
+
+def main(root="results_r3"):
+    root = Path(root)
+    core = collect(root, "core")
+    for extra in ("rest", "lam"):
+        for m, d in collect(root, extra).items():
+            core[m]["seen"] += d["seen"]
+            core[m]["unseen"] += d["unseen"]
+    conf = collect(root, "conf")
+    sparse = collect(root, "sparse")
+    clip0 = collect(root, "clip0")
+
+    table({m: v for m, v in core.items() if "%" not in m and "!" not in m},
+          "Clean core (round-3 env)")
+    table({m: v for m, v in core.items() if "!" in m}, "Temporal ablation")
+    table(conf, "CONFOUNDED (two-pass eval, overlaid training data)")
+    table(sparse, "Sparse-gaze ratio (table-3 control)")
+    table(clip0, "clip_norm=0 lambda column")
+
+    def mean_seen(data, m):
+        return float(np.mean(data[m]["seen"])) if m in data and data[m]["seen"] else None
+
+    print("\nOrdering parity vs the reference's published tables:")
+    checks = []
+    gab, agil, bc = (mean_seen(core, k) for k in ("Reg@0.3", "AGIL", "None"))
+    gril = mean_seen(core, "GRIL")
+    if None not in (gab, agil, bc):
+        checks.append(("GABRIL > BC clean (Original.csv: 62.4 > 47.8)", gab > bc))
+        checks.append(("AGIL > BC clean (Original.csv: 53.9 > 47.8)", agil > bc))
+        checks.append(("GABRIL >= AGIL clean (Original.csv: 62.4 > 56.2)", gab >= agil))
+    if None not in (gril, bc):
+        checks.append(("GRIL within 0.6x..1.2x BC (Original.csv: 50.1 vs 47.8)",
+                       0.6 * bc <= gril <= 1.2 * bc))
+    cgab, cbc = mean_seen(conf, "Reg@0.3"), mean_seen(conf, "None")
+    if None not in (cgab, cbc):
+        checks.append(("GABRIL > BC confounded (Confounded.csv: 44.7 > 32.8)", cgab > cbc))
+        if None not in (gab, bc):
+            d_bc, d_gab = bc - cbc, gab - cgab
+            checks.append((f"BC degrades more than GABRIL "
+                           f"(dBC {d_bc:+.1f} vs dGABRIL {d_gab:+.1f}; "
+                           "Confounded.csv: -15.0 vs -17.6 abs, -31% vs -28% rel)",
+                           d_bc / max(bc, 1e-6) > d_gab / max(gab, 1e-6)))
+    # table-3 rising-trend check on the sparse-gaze run
+    ratios = sorted((m for m in sparse if "%" in m),
+                    key=lambda m: float(m.split("%")[1]))
+    if len(ratios) >= 3:
+        vals = [np.mean(sparse[m]["seen"]) for m in ratios]
+        checks.append((f"sparse-gaze ratio rising (table3: 25.4->33.9): "
+                       + " -> ".join(f"{v:.1f}" for v in vals),
+                       vals[-1] > vals[0]))
+    for name, ok in checks:
+        print(f"  [{'x' if ok else ' '}] {name}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
