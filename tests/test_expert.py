@@ -65,3 +65,17 @@ def test_expert_yields_to_pedestrians():
     sc = compute_score(spec, st)
     assert int(sc["collisions_pedestrian"]) == 0
     assert float(sc["score_route"]) == 100.0
+
+
+def test_expert_crosses_dense_bicycle_flow_without_collision():
+    """CrossingBicycleFlow at route-3099 density (5-26 m gaps, 12 m/s): the
+    expert must negotiate the junction — wait, accept a conflict-window gap
+    or force the NPC yield handshake — and get through without a collision
+    (round-3 hardening; round-2 had 25-62% collision rollouts here)."""
+    spec = world("CrossingBicycleFlow", length=200, extra={
+        "start_actor_flow": (60.0, -40.0), "end_actor_flow": (60.0, 40.0),
+        "flow_speed": 12.0, "source_dist_interval": (5.0, 26.0)})
+    st = run(spec, steps=1400)
+    sc = compute_score(spec, st)
+    assert float(sc["collisions_vehicle"]) == 0
+    assert float(sc["score_route"]) > 70.0  # made it through the junction
