@@ -25,6 +25,7 @@ import numpy as np
 
 # validated categorical palette (dataviz default instance; fixed slot order)
 SERIES = {"seen": "#2a78d6", "unseen": "#eb6834"}
+PAIR = {"clean": "#2a78d6", "confounded": "#8a63c9"}
 INK, MUTED, GRID = "#1a1a19", "#6b6a60", "#e8e7df"
 
 
@@ -83,6 +84,43 @@ def methods_bar(data: dict, out: Path):
     plt.close(fig)
 
 
+def confounded_bar(clean: dict, conf: dict, out: Path):
+    """Clean vs confounded seen-score per method — the robustness figure
+    behind draw_plot/data/Confounded.csv (gaze regularization resists
+    causal confusion: BC 47.8->32.8 vs GABRIL 62.4->44.7)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = [m for m in sorted(clean, key=lambda m: -np.mean(clean[m]["seen"]))
+             if m in conf and "%" not in m and "!" not in m]
+    if not names:
+        return
+    x = np.arange(len(names))
+    w = 0.38
+    fig, ax = plt.subplots(figsize=(max(6.4, 0.9 * len(names) + 2), 3.6), dpi=150)
+    for i, (label, data) in enumerate((("clean", clean), ("confounded", conf))):
+        means = [float(np.mean(data[m]["seen"])) for m in names]
+        stds = [float(np.std(data[m]["seen"])) for m in names]
+        n_seeds = max(len(data[m]["seen"]) for m in names)
+        ax.bar(x + (i - 0.5) * w, means, w - 0.04, color=PAIR[label],
+               label=f"{label} ({n_seeds} seed" + ("s)" if n_seeds != 1 else ")"),
+               yerr=stds if n_seeds > 1 else None,
+               error_kw={"ecolor": MUTED, "capsize": 2, "elinewidth": 1})
+        for xi, v in zip(x + (i - 0.5) * w, means):
+            ax.text(xi, v + 1.2, f"{v:.0f}", ha="center", va="bottom",
+                    fontsize=8, color=INK)
+    ax.set_xticks(x, names, rotation=20, ha="right", color=INK)
+    ax.set_ylabel("driving score (seen)", color=INK, fontsize=10)
+    ax.set_ylim(0, 105)
+    _style(ax)
+    ax.legend(frameon=False, fontsize=9, loc="upper right", labelcolor=INK)
+    fig.tight_layout()
+    fig.savefig(out / "confounded_bar.png")
+    plt.close(fig)
+
+
 def _curve(data: dict, token: str, xlabel: str, fname: str, out: Path,
            base_method: str = "Reg"):
     """Ablation curve over a numeric token (%ratio or @lambda)."""
@@ -127,6 +165,8 @@ def _curve(data: dict, token: str, xlabel: str, fname: str, out: Path,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--reports", nargs="+", required=True, help="report.json paths (one per seed)")
+    p.add_argument("--conf_reports", nargs="*", default=[],
+                   help="confounded-eval report.json paths; adds confounded_bar.png")
     p.add_argument("--out", default="figs")
     args = p.parse_args(argv)
     out = Path(args.out)
@@ -136,6 +176,8 @@ def main(argv=None):
         print("no method results found")
         return 1
     methods_bar(data, out)
+    if args.conf_reports:
+        confounded_bar(data, _collect(args.conf_reports), out)
     _curve(data, "%", "gaze ratio (table 3)", "ratio_curve.png", out)
     _curve(data, "@", "lambda (reg weight)", "lambda_curve.png", out)
     made = [f.name for f in out.glob("*.png")]

@@ -31,6 +31,9 @@ MAX_FLOW_POINTS = 128  # resampled scenario flow polylines
 
 # Lane geometry (used when OpenDRIVE data is unavailable)
 LANE_WIDTH = 3.5
+# mini-shoulder forgiveness between lane edge and sidewalk
+# (OutsideRouteLanesTest.ALLOWED_OUT_DISTANCE, atomic_criteria.py:996)
+ALLOWED_OUT_DISTANCE = 0.5
 
 # Stop signs per route (generalized RunningStopTest, atomic_criteria.py:1799)
 N_STOPS = 2

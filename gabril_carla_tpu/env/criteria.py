@@ -70,18 +70,48 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     new_idx, lat = localize_ego(spec, ego.pos, ego.route_idx)
     step_m = ego.speed * C.DT
 
-    # --- outside lane: beyond half a lane off the centerline. TwoWays
-    # scenarios legitimately use the opposite lane, but only inside the
-    # scenario's working window (the reference scopes lane-invasion
-    # forgiveness to the scenario's activation, route_obstacles.py) —
-    # spec.lane_allow is that window in route arclength.
+    # --- OutsideRouteLanesTest: the reference runs two detectors and accrues
+    # wrong-distance for either (atomic_criteria.py:1048-1051):
+    #   (a) _is_outside_driving_lanes (:1106-1127) — farther than
+    #       lane_width/2 + ALLOWED_OUT_DISTANCE (0.5 m, :996) from the
+    #       nearest driving-lane center, i.e. off the road edge;
+    #   (b) _is_at_wrong_lane (:1129-1160) — the nearest driving lane runs
+    #       opposite the route (oncoming-lane invasion), suppressed inside
+    #       junctions (:1138 "lanes and roads are too chaotic at junctions")
+    #       and toggled off by TwoWays scenarios via the blackboard (:1043;
+    #       our spec.lane_allow is that window in route arclength).
+    # Our map model is the route lane + one oncoming lane + crossing-road
+    # lanes (the scenario flow polylines), so both reduce to the signed
+    # lateral offset from the route centerline plus a crossing-pavement test.
     s_here = new_idx.astype(jnp.float32)
     in_allow = (
         (s_here >= spec.lane_allow[0]) & (s_here <= spec.lane_allow[1])
         & (spec.lane_allow[1] > spec.lane_allow[0])
     )
-    out_limit = jnp.where(in_allow, 1.5 * C.LANE_WIDTH, 0.5 * C.LANE_WIDTH + 0.3)
-    outside = lat > out_limit
+    tang = spec.route_dir[new_idx]
+    delta_r = ego.pos - spec.route_xy[new_idx]
+    # driver's-left normal in CARLA's y-south frame (world._left)
+    signed_lat = delta_r[0] * tang[1] - delta_r[1] * tang[0]
+    # junction pavement: within half a lane (+shoulder) of an enabled flow
+    # polyline whose local direction crosses the route — the compiled
+    # analogue of map.get_waypoint landing on a junction driving lane
+    fd2 = jnp.sum((spec.flow_xy - ego.pos[None, None, :]) ** 2, axis=-1)  # [N_FLOWS, F]
+    fmin = jnp.argmin(fd2, axis=-1)  # [N_FLOWS]
+    fdist = jnp.sqrt(jnp.take_along_axis(fd2, fmin[:, None], 1)[:, 0])
+    fdir = jnp.take_along_axis(spec.flow_dir, fmin[:, None, None], 1)[:, 0]  # [N_FLOWS, 2]
+    is_crossing = jnp.abs(fdir @ tang) < 0.7  # >45 deg to the route
+    on_junction = jnp.any(
+        spec.flow_enabled & is_crossing
+        & (fdist <= 0.5 * C.LANE_WIDTH + C.ALLOWED_OUT_DISTANCE)
+    )
+    wrong_lane = (
+        (signed_lat > 0.5 * C.LANE_WIDTH) & ~in_allow & ~on_junction
+    )
+    off_road = (
+        (signed_lat < -(0.5 * C.LANE_WIDTH + C.ALLOWED_OUT_DISTANCE))
+        | (signed_lat > 1.5 * C.LANE_WIDTH + C.ALLOWED_OUT_DISTANCE)
+    ) & ~on_junction
+    outside = wrong_lane | off_road
     outside_m = crit.outside_lane_m + jnp.where(outside, step_m, 0.0)
 
     # --- collisions (ego OBB vs pools)

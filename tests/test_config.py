@@ -70,7 +70,14 @@ def test_figures_cli(tmp_path):
         p = tmp_path / f"rep{i}.json"
         p.write_text(json.dumps(rep))
         reps.append(str(p))
+    conf = tmp_path / "conf.json"
+    conf.write_text(json.dumps({"methods": {
+        "None": {"seen": 33, "unseen": 20},
+        "Reg@0.3": {"seen": 45, "unseen": 30},
+    }}))
     out = tmp_path / "figs"
-    assert figmain(["--reports", *reps, "--out", str(out)]) == 0
+    assert figmain(["--reports", *reps, "--conf_reports", str(conf),
+                    "--out", str(out)]) == 0
     names = {f.name for f in out.glob("*.png")}
-    assert {"methods_bar.png", "lambda_curve.png", "ratio_curve.png"} <= names
+    assert {"methods_bar.png", "lambda_curve.png", "ratio_curve.png",
+            "confounded_bar.png"} <= names
