@@ -1,0 +1,135 @@
+"""Re-evaluate saved benchmark checkpoints under the CURRENT env/criteria.
+
+The round-3 suites train for hours; code improvements that land mid-suite
+(e.g. the two-detector OutsideRouteLanesTest) would otherwise leave earlier
+suites scored under older semantics than later ones. This tool replays the
+EVAL half of examples/full_benchmark.py from the persisted checkpoints —
+same routes, same eval seeds, same PRNG scheme — so every suite's numbers
+can be re-anchored to one code version without retraining.
+
+    python examples/reeval.py --suite_dir results_r3/core [--confounded]
+
+Writes report_reeval.json next to each seed dir's report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gabril_carla_tpu.env.criteria import compute_score
+    from gabril_carla_tpu.env.world import load_benchmark_specs
+    from gabril_carla_tpu.eval.agent import BCAgent
+    from gabril_carla_tpu.eval.rollout import make_rollout_fn
+    from gabril_carla_tpu.eval.stats import aggregate_scores, route_record
+    from gabril_carla_tpu.train.checkpoint import restore_params
+    from gabril_carla_tpu.train.gaze_predictor import build_gaze_models
+    from gabril_carla_tpu.utils.config import default_gaze_config
+
+    from gabril_carla_tpu.data import seen_routes, unseen_routes
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite_dir", required=True, help="suite root holding seed*/ dirs (or itself a seed dir)")
+    p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
+    p.add_argument("--eval_steps", type=int, default=1600)
+    p.add_argument("--methods", nargs="*", default=None,
+                   help="method-spec labels in suite order; used to label runs whose "
+                        "(gaze, dropout) manifest pair is ambiguous (e.g. a lambda sweep)")
+    p.add_argument("--confounded", action="store_true")
+    p.add_argument("--oracle_heat", action="store_true",
+                   help="drop the frozen gaze predictor and feed heat-needing methods the "
+                        "analytic scene-graph heat directly — isolates predictor quality "
+                        "from the method itself (AGIL>BC diagnostic)")
+    args = p.parse_args()
+
+    root = Path(args.suite_dir)
+    seed_dirs = sorted(d for d in root.glob("seed*") if d.is_dir()) or [root]
+
+    seen, unseen = seen_routes(), unseen_routes()
+    all_specs = jax.tree.map(jnp.asarray, load_benchmark_specs(args.routes_xml, seen + unseen))
+    idx_of = {r: i for i, r in enumerate(seen + unseen)}
+
+    for seed_dir in seed_dirs:
+        run_dirs = sorted((seed_dir / "runs" / "Mixed_").glob("*/checkpoints"))
+        if not run_dirs:
+            print(f"[{seed_dir.name}] no Mixed_ checkpoints, skipping")
+            continue
+
+        gp_apply, gp_params = None, None
+        gp_ckpts = [] if args.oracle_heat else sorted(
+            (seed_dir / "runs" / "GazePred").glob("*/checkpoints"))
+        if gp_ckpts:
+            eps = sorted(gp_ckpts[-1].glob("ep*"), key=lambda d: int(d.name[2:]))
+            model, _ = build_gaze_models(default_gaze_config())
+            gp_params = restore_params(eps[-1])
+            gp_apply = lambda p_, obs: model.apply({"params": p_}, obs)
+
+        report_path = seed_dir / "report.json"
+        old = json.loads(report_path.read_text()) if report_path.exists() else {}
+        labels = args.methods or list(old.get("methods", {}))
+        report = {**{k: v for k, v in old.items() if k != "methods"},
+                  "reeval": True, "confounded": args.confounded, "methods": {}}
+
+        for k, ckpt in enumerate(run_dirs):
+            agent = BCAgent(ckpt)
+            man = agent.manifest
+            pair = (man.get("gaze_method", "None"), man.get("dp_method", "None"))
+
+            def spec_pair(label):
+                core = label.split("@")[0].split("%")[0].replace("!notemporal", "")
+                g, _, d = core.partition(":")
+                return (g or "None", d or "None")
+
+            matches = [m for m in labels if spec_pair(m) == pair]
+            label = matches[0] if len(matches) == 1 else (
+                labels[k] if k < len(labels) else f"{pair[0]}:{pair[1]}#{k}")
+
+            roll = make_rollout_fn(agent.policy_fn(), agent.cfg, steps=args.eval_steps,
+                                   use_analytic_gaze=True, gaze_predictor_apply=gp_apply,
+                                   confounded=args.confounded)
+            eval_params = dict(agent.params)
+            if gp_params is not None:
+                eval_params["gaze_predictor"] = gp_params
+            roll_v = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
+
+            results = {}
+            for split, routes in (("seen", seen), ("unseen", unseen)):
+                pairs = [(r, s) for r in routes for s in args.eval_seeds]
+                sel = np.asarray([idx_of[r] for r, _ in pairs])
+                specs_b = jax.tree.map(lambda a: a[sel], all_specs)
+                keys = jnp.stack([jax.random.PRNGKey(s * 100003 + r) for r, s in pairs])
+                t0 = time.time()
+                states, _ = roll_v(specs_b, eval_params, keys)
+                states = jax.device_get(states)
+                recs = []
+                for i, (r, s) in enumerate(pairs):
+                    spec_i = jax.tree.map(lambda a: a[idx_of[r]], all_specs)
+                    st_i = jax.tree.map(lambda a: a[i], states)
+                    sc = compute_score(spec_i, st_i)
+                    recs.append(route_record(r, s, sc, duration_game=float(st_i.t) * 0.05,
+                                             route_length=float(spec_i.route_len)))
+                agg = aggregate_scores(recs)
+                results[split] = agg["mean"]
+                results[f"per_route_{split}"] = {
+                    rec["route_id"]: rec["scores"]["score_composed"] for rec in recs}
+                print(f"[{seed_dir.name}:{label}:{split}] mean {agg['mean']:.2f} "
+                      f"± {agg['std']:.2f} ({time.time()-t0:.0f}s)", flush=True)
+            report["methods"][label] = results
+            (seed_dir / "report_reeval.json").write_text(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    raise SystemExit(main())

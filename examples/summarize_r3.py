@@ -21,7 +21,10 @@ import numpy as np
 def collect(root: Path, sub: str):
     data = defaultdict(lambda: {"seen": [], "unseen": []})
     for rep_path in sorted((root / sub).glob("**/report.json")):
-        rep = json.loads(rep_path.read_text())
+        # prefer the re-anchored eval (examples/reeval.py re-scores saved
+        # checkpoints under the final criteria code) when present
+        reeval = rep_path.with_name("report_reeval.json")
+        rep = json.loads((reeval if reeval.exists() else rep_path).read_text())
         for m, d in rep.get("methods", {}).items():
             data[m]["seen"].append(d["seen"])
             data[m]["unseen"].append(d["unseen"])
