@@ -93,9 +93,12 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
     gx = z * fwd_x + x * rgt_x
     gy = z * fwd_y + x * rgt_y
 
-    # ---- streaming terrain distance field (ground tiles only)
+    # ---- streaming terrain distance field (ground tiles only). The carry
+    # tracks only what cannot be recovered post-loop: the road-corridor
+    # bounds (columns 6/7) are constants split by is_route, so they are NOT
+    # carried — two fewer selects in the hot loop.
     def rbody(k, carry):
-        best_t, bdx, bdy, be3, bs, blo, bhi = carry
+        best_t, bdx, bdy, be3, bs = carry
         t = gx * route_ref[k, 0] + gy * route_ref[k, 1] + route_ref[k, 2]
         upd = t < best_t
         return (
@@ -104,24 +107,31 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
             jnp.where(upd, route_ref[k, 4], bdy),
             jnp.where(upd, route_ref[k, 5], be3),
             jnp.where(upd, jnp.float32(k), bs),
-            jnp.where(upd, route_ref[k, 6], blo),
-            jnp.where(upd, route_ref[k, 7], bhi),
         )
 
     zero = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
     init = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32),
-            zero, zero, zero, zero, zero, zero)
+            zero, zero, zero, zero)
+    has_flow = cam_ref[10, 0]
 
     def ground_loop(_):
-        out = jax.lax.fori_loop(0, view, rbody, init, unroll=True)
+        out = jax.lax.fori_loop(0, view_route, rbody, init, unroll=True)
+        if view > view_route:
+            # scenario-flow tail (crossing-road points): worlds without an
+            # enabled crossing flow skip these iterations entirely — their
+            # entries are 1e12-biased and can never win the argmin
+            out = jax.lax.cond(
+                has_flow > 0.5,
+                lambda c: jax.lax.fori_loop(view_route, view, rbody, c, unroll=True),
+                lambda c: c, out)
         return out[1:]
 
     def sky_loop(_):
-        return zero, zero, zero, zero, zero, zero
+        return zero, zero, zero, zero
 
     # sky-only tiles skip the route loop entirely (bottom-first layout packs
     # every ground pixel into the first GROUND_TILES tiles)
-    bdx, bdy, be3, s_off, blo, bhi = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
+    bdx, bdy, be3, s_off = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
     # lateral solve deferred out of the loop: positive = driver's left
     signed = bdy * gx - bdx * gy + be3
     near_s = start_s + s_off
@@ -130,7 +140,10 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
 
     # ---- terrain shading (raster.py contract, incl. weather)
     lw = LANE_WIDTH
-    on_road = (signed > blo) & (signed < bhi)
+    # corridor bounds recovered from is_route (raster._pallas_inputs cols 6/7:
+    # ego route keeps the own+opposite-lane corridor, flow entries one lane)
+    hi = jnp.where(is_route, 1.5 * lw + 0.3, 0.5 * lw + 0.3)
+    on_road = (signed > (-0.5 * lw - 0.3)) & (signed < hi)
     dash = jnp.mod(near_s, 4.0) < 2.0
     center_line = (jnp.abs(signed - 0.5 * lw) < 0.12) & dash & is_route
     edge = ((jnp.abs(signed + 0.5 * lw) < 0.15)

@@ -267,7 +267,9 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
         [fwd, right,
          jnp.stack([weather[0], start.astype(jnp.float32)]),
          weather[1:],  # precip01, fog01, sun_bright, wet01
-         jnp.zeros(6)]
+         # slot 10: crossing-flow present — gates the kernel's flow tail
+         spec.flow_enabled[0].astype(jnp.float32)[None],
+         jnp.zeros(5)]
     )
     return cam_scalars, jnp.concatenate([route_cols, flow_cols]), _compact_boxes(boxes)
 
