@@ -79,8 +79,16 @@ def npc_collision_avoidance(pool: ActorPool, ego_pos, ego_yaw, ego_speed=0.0,
     # (round-3 3100 trace: flow bikes hit the crossing ego's flank at
     # 4-7 m/s after braking from only ~15 m out).
     wide = blocked_by(ego_pos, 1.3, 3.0)
+    # ... but only for crossing/oncoming geometry. A same-direction LEADER
+    # must never yield to a committed follower approaching from behind: the
+    # extrapolated ego point lands in its forward corridor whenever
+    # 2.4 s * v > gap, pinning the leader+follower pair at ~gap/2.4 m/s
+    # (observed: ambient leader stuck at 3.4 m/s, ego min-speed 0.67).
+    not_leader = (hdg @ ego_fwd) < 0.7
+    future = jnp.zeros_like(wide)
     for k in (0.8, 1.6, 2.4):
-        wide = wide | blocked_by(ego_pos + ego_fwd * ego_speed * k, 1.3, 3.0)
+        future = future | blocked_by(ego_pos + ego_fwd * ego_speed * k, 1.3, 3.0)
+    wide = wide | (future & not_leader)
     narrow = blocked_by(ego_pos, 1.0, 2.2)
     block_e = narrow | (wide & committed)
     # vs other NPCs

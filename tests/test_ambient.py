@@ -120,3 +120,32 @@ def test_ambient_mean_speed_measure():
     mean, has = ambient_speeds(st.vehicles)
     assert bool(has)
     assert 4.0 <= float(mean) <= 8.0
+
+
+def test_leader_does_not_yield_to_committed_follower():
+    """A same-direction leader must never brake for a committed ego behind
+    it: the swept-path extrapolation (npc_collision_avoidance) previously
+    landed the ego's 2.4 s-extrapolated point inside the leader's forward
+    corridor whenever 2.4*v > gap, pinning leader+follower at ~gap/2.4 m/s
+    and bleeding MinimumSpeedRouteTest checkpoints. Crossing geometry must
+    still trigger the anticipation (the route-3099/3100 flank-hit fix)."""
+    from gabril_carla_tpu.env.dynamics import npc_collision_avoidance
+    from gabril_carla_tpu.env.state import ActorPool
+
+    pool = ActorPool.empty(4)
+    # slot 0: leader 9 m dead ahead of the ego, same heading, cruising
+    # slot 1: perpendicular crosser whose corridor the ego's extrapolated
+    #         position enters (ego at 7 m/s -> reaches x=16.8 within 2.4 s;
+    #         crosser at (17, -8) heading +y sees that point ~8 m ahead)
+    pool = pool.replace(
+        pos=pool.pos.at[0].set(jnp.asarray([9.0, 0.0]))
+                    .at[1].set(jnp.asarray([17.0, -8.0])),
+        yaw=pool.yaw.at[1].set(jnp.pi / 2),
+        speed=pool.speed.at[0].set(7.0).at[1].set(7.0),
+        alive=pool.alive.at[0].set(True).at[1].set(True),
+    )
+    cap = npc_collision_avoidance(pool, jnp.zeros(2), jnp.asarray(0.0),
+                                  ego_speed=jnp.asarray(7.0))
+    cap = np.asarray(cap)
+    assert np.isinf(cap[0]), "leader braked for a follower behind it"
+    assert cap[1] == 0.0, "crosser ignored the committed ego's swept path"
