@@ -49,6 +49,11 @@ def main():
                    help="drop the frozen gaze predictor and feed heat-needing methods the "
                         "analytic scene-graph heat directly — isolates predictor quality "
                         "from the method itself (AGIL>BC diagnostic)")
+    p.add_argument("--out_name", default="report_reeval.json",
+                   help="report filename written next to each seed's report.json "
+                        "(use a distinct name for diagnostics like --oracle_heat)")
+    p.add_argument("--only", nargs="*", default=None,
+                   help="restrict to checkpoints whose resolved label is in this list")
     args = p.parse_args()
 
     root = Path(args.suite_dir)
@@ -92,6 +97,8 @@ def main():
             matches = [m for m in labels if spec_pair(m) == pair]
             label = matches[0] if len(matches) == 1 else (
                 labels[k] if k < len(labels) else f"{pair[0]}:{pair[1]}#{k}")
+            if args.only is not None and label not in args.only:
+                continue
 
             roll = make_rollout_fn(agent.policy_fn(), agent.cfg, steps=args.eval_steps,
                                    use_analytic_gaze=True, gaze_predictor_apply=gp_apply,
@@ -124,7 +131,7 @@ def main():
                 print(f"[{seed_dir.name}:{label}:{split}] mean {agg['mean']:.2f} "
                       f"± {agg['std']:.2f} ({time.time()-t0:.0f}s)", flush=True)
             report["methods"][label] = results
-            (seed_dir / "report_reeval.json").write_text(json.dumps(report, indent=1))
+            (seed_dir / args.out_name).write_text(json.dumps(report, indent=1))
     return 0
 
 
