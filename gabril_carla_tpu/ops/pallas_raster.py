@@ -6,14 +6,18 @@ Three generations measured on v5e (128-world batch, 180x320):
   * Fused kernel v1: whole frame per pixel block in VMEM registers — camera
     rays, ground hits, a streaming route-distance loop, terrain shading, a
     streaming actor depth-composite. One HBM write per frame; ~70 us/frame.
-  * This version (~2x v1): pixels are laid out bottom-row-first so every
-    ground pixel lands in the first 2 of 4 tiles and the 128-iteration
-    route loop is skipped entirely for sky tiles; the route loop body drops
-    from 13 to 10 vector ops by hoisting per-point scalars
-    (c1,c2,c3,dx,dy,e3) host-side and deferring the lateral-distance solve
-    to after the argmin; the actor list is compacted to the K_BOX nearest
-    visible boxes before the kernel (raster._compact_boxes), bounding the
-    composite loop.
+  * v2 (~2x v1): pixels are laid out bottom-row-first so every ground pixel
+    lands in the leading tiles and the route loop is skipped entirely for
+    sky tiles; the route loop body drops from 13 to 10 vector ops by
+    hoisting per-point scalars (c1,c2,c3,dx,dy,e3) host-side and deferring
+    the lateral-distance solve to after the argmin; the actor list is
+    compacted to the K_BOX nearest visible boxes before the kernel
+    (raster._compact_boxes), bounding the composite loop.
+  * This version: 32-row tiles + depth-bounded prefixes over the
+    distance-sorted row list (raster.NEAR_THR2 / NEAR_PREFIX) — a near
+    tile's ground only reaches a few metres, so its terrain argmin provably
+    needs only the nearest rows; per-pixel route-loop work drops ~2x again
+    (counts validate each prefix at runtime, full-loop fallback otherwise).
 
 Numerical note: the hoisted quadratic uses camera-relative coordinates —
 comparing t = |g|^2 - 2 g.q + |q|^2 across route points cancels to ~meter^2
@@ -42,14 +46,22 @@ CAM_Z = 1.6
 MAX_DEPTH = 120.0
 SKY, GRASS, ROAD, MARK = 0.62, 0.42, 0.24, 0.85
 
-BLOCK_ROWS = 128
+BLOCK_ROWS = 32
 LANES = 128
 N_PIX = H * W  # 57600
 ROWS_PAD = 512  # 512 * 128 = 65536 >= N_PIX
 GRID = ROWS_PAD // BLOCK_ROWS
 # ground rows are v in [91, 179] (89 rows); bottom-first they occupy
-# flat < 89*320 = 28480 < 2 tiles of 16384 px
+# flat < 89*320 = 28480 < 7 tiles of 4096 px
 GROUND_TILES = -(-(H - 1 - 90) * W // (BLOCK_ROWS * LANES))
+
+# Per-tile terrain-loop prefixes over the distance-SORTED route/flow rows
+# (raster.NEAR_THR2 derivation).  Tile pairs (0,1), (2,3), (4,5) see ground
+# only out to z_max ~6.9 / 11.6 / 34.9 m, so their winners provably sit in
+# the first N sorted rows whenever the matching row count (cam slots 11-13)
+# fits; otherwise the tile falls back to the full rolled loop.  Tile 6 runs
+# the valid-row prefix (128 when the crossing flow is disabled).
+NEAR_PREFIX = (56, 72, 120)
 
 LANE_WIDTH = 3.5
 
@@ -58,10 +70,12 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
                    n_actors: int, view_route: int):
     """One [BLOCK_ROWS, LANES] tile of the frame.
 
-    cam_ref:   [16, 1]  camera basis + weather scalars (camera-relative frame)
-    route_ref: [view, 8] columns: c1 c2 c3 dx dy e3 lo hi (hoisted quadratic
-               + per-point road corridor); entries past view_route are
-               scenario-flow points — crossing-road surfaces, no markings
+    cam_ref:   [16, 1]  camera basis + weather scalars + per-threshold row
+               counts (slots 11-14) in the camera-relative frame
+    route_ref: [view, 8] DISTANCE-SORTED rows: c1 c2 c3 dx dy e3 j hi
+               (hoisted quadratic, original row index j, corridor hi);
+               rows with j >= view_route are scenario-flow points —
+               crossing-road surfaces, no markings
     boxes_ref: [n_actors, 8] columns: u0 u1 v0 v1 depth color valid pad
     """
     i = pl.program_id(0)
@@ -95,10 +109,11 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
 
     # ---- streaming terrain distance field (ground tiles only). The carry
     # tracks only what cannot be recovered post-loop: the road-corridor
-    # bounds (columns 6/7) are constants split by is_route, so they are NOT
-    # carried — two fewer selects in the hot loop.
+    # bounds are constants split by is_route, so they are NOT carried.
+    # Rows are distance-sorted (raster._pallas_inputs); column 6 carries the
+    # original route/flow index the dash phase and is_route split need.
     def rbody(k, carry):
-        best_t, bdx, bdy, be3, bs = carry
+        best_t, bdx, bdy, be3, bj = carry
         t = gx * route_ref[k, 0] + gy * route_ref[k, 1] + route_ref[k, 2]
         upd = t < best_t
         return (
@@ -106,42 +121,65 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
             jnp.where(upd, route_ref[k, 3], bdx),
             jnp.where(upd, route_ref[k, 4], bdy),
             jnp.where(upd, route_ref[k, 5], be3),
-            jnp.where(upd, jnp.float32(k), bs),
+            jnp.where(upd, route_ref[k, 6], bj),
         )
 
     zero = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
     init = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32),
             zero, zero, zero, zero)
-    has_flow = cam_ref[10, 0]
+
+    def run_to(n, unroll):
+        return lambda _: jax.lax.fori_loop(0, min(n, view), rbody, init,
+                                           unroll=unroll)[1:]
+
+    # full loop as the prefix-overflow fallback: rare (tight hairpins /
+    # roundabouts crowding a near tile's distance disc), so rolled 8-wide
+    # to keep the code-size cost of 4 extra variants down
+    rolled_full = run_to(view, 8)
 
     def ground_loop(_):
-        out = jax.lax.fori_loop(0, view_route, rbody, init, unroll=True)
-        if view > view_route:
-            # scenario-flow tail (crossing-road points): worlds without an
-            # enabled crossing flow skip these iterations entirely — their
-            # entries are 1e12-biased and can never win the argmin
-            out = jax.lax.cond(
-                has_flow > 0.5,
-                lambda c: jax.lax.fori_loop(view_route, view, rbody, c, unroll=True),
-                lambda c: c, out)
-        return out[1:]
+        # tile pairs share a prefix class; counts validate the static prefix
+        # (nested conds — the proven scalar control flow on this toolchain)
+        n0, n1, n2 = NEAR_PREFIX
+
+        def class0(_):
+            return jax.lax.cond(cam_ref[11, 0] <= n0, run_to(n0, True), rolled_full, 0)
+
+        def class1(_):
+            return jax.lax.cond(cam_ref[12, 0] <= n1, run_to(n1, True), rolled_full, 0)
+
+        def class2(_):
+            return jax.lax.cond(cam_ref[13, 0] <= n2, run_to(n2, True), rolled_full, 0)
+
+        def class3(_):
+            # deepest ground tile: all valid rows (invalid-biased rows sort
+            # to the tail, so a disabled crossing flow skips its 32 rows)
+            return jax.lax.cond(cam_ref[14, 0] <= 128.5, run_to(128, True),
+                                run_to(view, True), 0)
+
+        return jax.lax.cond(
+            i < 2, class0,
+            lambda _: jax.lax.cond(
+                i < 4, class1,
+                lambda __: jax.lax.cond(i < 6, class2, class3, 0), 0),
+            0)
 
     def sky_loop(_):
         return zero, zero, zero, zero
 
     # sky-only tiles skip the route loop entirely (bottom-first layout packs
     # every ground pixel into the first GROUND_TILES tiles)
-    bdx, bdy, be3, s_off = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
+    bdx, bdy, be3, bj = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
     # lateral solve deferred out of the loop: positive = driver's left
     signed = bdy * gx - bdx * gy + be3
-    near_s = start_s + s_off
+    near_s = start_s + bj
     # entries past view_route are scenario-flow points: road, but no markings
-    is_route = s_off < jnp.float32(view_route)
+    is_route = bj < jnp.float32(view_route)
 
     # ---- terrain shading (raster.py contract, incl. weather)
     lw = LANE_WIDTH
-    # corridor bounds recovered from is_route (raster._pallas_inputs cols 6/7:
-    # ego route keeps the own+opposite-lane corridor, flow entries one lane)
+    # corridor bounds recovered from is_route (the ego route keeps the
+    # own+opposite-lane corridor, flow entries one lane)
     hi = jnp.where(is_route, 1.5 * lw + 0.3, 0.5 * lw + 0.3)
     on_road = (signed > (-0.5 * lw - 0.3)) & (signed < hi)
     dash = jnp.mod(near_s, 4.0) < 2.0
@@ -174,7 +212,19 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
         return jnp.where(inside, d, best_d), jnp.where(inside, c, best_c)
 
     binit = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32), zero)
-    best_d, best_c = jax.lax.fori_loop(0, n_actors, abody, binit, unroll=True)
+    # valid rows lead the depth-sorted compacted list (cam slot 15 counts
+    # them), so a count-gated prefix is exact — rows past the count carry
+    # ok=0 and can never paint
+    n_vis = cam_ref[15, 0]
+
+    def boxes_to(n):
+        return lambda _: jax.lax.fori_loop(0, min(n, n_actors), abody, binit,
+                                           unroll=True)
+
+    best_d, best_c = jax.lax.cond(
+        n_vis <= 12, boxes_to(12),
+        lambda _: jax.lax.cond(n_vis <= 24, boxes_to(24), boxes_to(n_actors), 0),
+        0)
     hit = best_d < 1e29
     shade = 1.0 - jnp.clip(best_d / MAX_DEPTH, 0.0, 0.6)
     afog = jnp.clip(best_d / vis, 0.0, 1.0) * (0.8 * fog)

@@ -200,6 +200,19 @@ def _signal_boxes(spec, state, cam, fwd, right) -> jnp.ndarray:
 
 K_BOX = 32  # kernel composite loop bound: K nearest visible boxes survive
 
+# Depth-bounded terrain-loop prefixes (pallas_raster): the route/flow columns
+# are sorted by camera distance, and each ground tile of the kernel only
+# iterates over a prefix large enough to provably contain every point that
+# can influence its pixels.  A tile whose deepest ground hit is z_max only
+# shows ground within |g| <= 1.154*z_max of the camera, and an output-relevant
+# winner (one whose corridor/markings reach the pixel, lateral <= 5.55 m)
+# sits within ~6 m of its pixel for interior polyline points (1 m route
+# spacing, 4 m flow stride; window ENDS are force-included in the prefix).
+# Hence all winners for that tile satisfy |q| < 1.154*z_max + 6, and counting
+# rows under the threshold validates the static prefix at runtime (fallback:
+# full loop).  Thresholds below pair with pallas_raster.NEAR_PREFIX.
+NEAR_THR2 = (14.6 * 14.6, 20.0 * 20.0, 47.0 * 47.0)
+
 
 def _compact_boxes(boxes):
     """Keep the K_BOX nearest on-screen valid boxes (static shape).
@@ -244,9 +257,12 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
     valid = ((start + jnp.arange(ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
     c3 = jnp.sum(q * q, axis=1) + (1.0 - valid) * 1e12
     e3 = qd[:, 0] * q[:, 1] - qd[:, 1] * q[:, 0]
+    # column 6 carries the ORIGINAL row index (the rows get distance-sorted
+    # below): is_route = col6 < ROUTE_VIEW, dash phase = start_s + col6.
+    # Column 7 keeps the corridor hi bound (read by the XLA oracle only).
     route_cols = jnp.stack(
         [-2.0 * q[:, 0], -2.0 * q[:, 1], c3, qd[:, 0], qd[:, 1], e3,
-         jnp.full(ROUTE_VIEW, -0.5 * lw - 0.3), jnp.full(ROUTE_VIEW, 1.5 * lw + 0.3)],
+         jnp.arange(ROUTE_VIEW, dtype=jnp.float32), jnp.full(ROUTE_VIEW, 1.5 * lw + 0.3)],
         axis=1,
     )
     # scenario flow polyline (slot 0: the explicit/crossing flow) as extra
@@ -260,18 +276,44 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
     fe3 = fqd[:, 0] * fq[:, 1] - fqd[:, 1] * fq[:, 0]
     flow_cols = jnp.stack(
         [-2.0 * fq[:, 0], -2.0 * fq[:, 1], fc3, fqd[:, 0], fqd[:, 1], fe3,
-         jnp.full(FLOW_VIEW, -0.5 * lw - 0.3), jnp.full(FLOW_VIEW, 0.5 * lw + 0.3)],
+         ROUTE_VIEW + jnp.arange(FLOW_VIEW, dtype=jnp.float32),
+         jnp.full(FLOW_VIEW, 0.5 * lw + 0.3)],
         axis=1,
     )
+    cols = jnp.concatenate([route_cols, flow_cols])
+
+    # sort rows by camera distance so each kernel ground tile can run a
+    # depth-bounded unrolled PREFIX instead of the full loop (see NEAR_THR2).
+    # Window endpoints are force-ranked to the front: a pixel past a polyline
+    # end takes road attributes from the endpoint's line extension, and that
+    # endpoint may sit outside the tile's distance bound.  The sort key is a
+    # COPY — c3 (with its invalid bias) is untouched, so forced invalid rows
+    # still can never win the argmin.
+    key = cols[:, 2]
+    n_valid_route = jnp.clip(spec.n_route - start, 1, ROUTE_VIEW)
+    lastf = jnp.maximum(jnp.sum(fvalid.astype(jnp.int32)) - 1, 0)
+    key = key.at[0].set(-0.7)
+    key = key.at[n_valid_route - 1].set(-1.0)
+    key = key.at[ROUTE_VIEW].set(-0.6)
+    key = key.at[ROUTE_VIEW + lastf].set(-0.5)
+    order = jnp.argsort(key)
+    cols = cols[order]
+    counts = jnp.stack(
+        [jnp.sum(key < t) for t in NEAR_THR2] + [jnp.sum(key < 1e11)]
+    ).astype(jnp.float32)
+
+    cboxes = _compact_boxes(boxes)
     cam_scalars = jnp.concatenate(
         [fwd, right,
          jnp.stack([weather[0], start.astype(jnp.float32)]),
          weather[1:],  # precip01, fog01, sun_bright, wet01
-         # slot 10: crossing-flow present — gates the kernel's flow tail
-         spec.flow_enabled[0].astype(jnp.float32)[None],
-         jnp.zeros(5)]
+         spec.flow_enabled[0].astype(jnp.float32)[None],  # diagnostic only
+         counts,  # slots 11-14: rows under each NEAR_THR2 + valid rows
+         # slot 15: visible boxes — valid rows lead the compacted list, so
+         # the kernel's composite loop runs a count-gated prefix (exact)
+         jnp.sum(cboxes[:, 6])[None]]
     )
-    return cam_scalars, jnp.concatenate([route_cols, flow_cols]), _compact_boxes(boxes)
+    return cam_scalars, cols, cboxes
 
 
 def render_frame(spec, state) -> jnp.ndarray:
@@ -308,12 +350,13 @@ def _render_frame_xla(spec, state, cam, fwd, right, boxes, weather) -> jnp.ndarr
     cam_scalars, cols, _ = _pallas_inputs(spec, state, cam, fwd, right, boxes, weather)
     g = (ground - cam[None, None]).reshape(-1, 2)
     t = g @ cols[:, :2].T + cols[None, :, 2]  # [N, V] MXU
-    idx = jnp.argmin(t, axis=1)  # [N]
-    sel = cols[idx]
+    idx = jnp.argmin(t, axis=1)  # [N] (rows are distance-sorted; col 6
+    sel = cols[idx]              # recovers the original route/flow index)
     signed = (sel[:, 4] * g[:, 0] - sel[:, 3] * g[:, 1] + sel[:, 5]).reshape(H, W)
-    on_road = (signed > sel[:, 6].reshape(H, W)) & (signed < sel[:, 7].reshape(H, W))
-    is_route = (idx < ROUTE_VIEW).reshape(H, W)
-    near_s = (cam_scalars[5] + idx.astype(jnp.float32)).reshape(H, W)
+    lw0 = C.LANE_WIDTH
+    on_road = (signed > (-0.5 * lw0 - 0.3)) & (signed < sel[:, 7].reshape(H, W))
+    is_route = (sel[:, 6] < ROUTE_VIEW).reshape(H, W)
+    near_s = (cam_scalars[5] + sel[:, 6]).reshape(H, W)
 
     # lane markings (ego route only): dashed center divider, solid edges
     lw = C.LANE_WIDTH

@@ -198,3 +198,60 @@ def test_confounded_overlay_draws_brake_dot():
     out = np.asarray(R.confounded_overlay(img, jnp.asarray([0, 0.5, 1.0, 0, 0, 0, 0])))
     assert out.max() == 1.0
     assert (out > 0.9).sum() > 20
+
+
+def test_pallas_prefix_fallback_on_tight_loop_route():
+    """A route that curls tightly around the ego overflows the near tiles'
+    sorted-prefix capacity (raster.NEAR_THR2 counts > NEAR_PREFIX) and must
+    take the rolled full-loop fallback — parity must hold there too."""
+    t = np.linspace(0, 6 * np.pi, 120)
+    r = 7.0  # whole circle inside the 14.6 m near threshold
+    wps = np.stack([r * np.cos(t), r * np.sin(t)], 1).astype(np.float32)
+    spec = jax.tree.map(jnp.asarray, build_world_spec({
+        "id": 9, "town": "T", "waypoints": wps, "scenarios": [],
+        "weather": [0, 0, 0, 90]}))
+    env = DrivingEnv()
+    st = env.reset(spec, jax.random.PRNGKey(0))
+    st = st.replace(ego=st.ego.replace(pos=jnp.asarray([r, 0.0]),
+                                       route_idx=jnp.asarray(40, jnp.int32)))
+    cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
+    boxes = jnp.concatenate(
+        [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
+    )
+    weather = R.weather_now(spec, st)
+    cam_scalars, _, _ = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
+    # the scenario of interest: the tightest near class genuinely overflows
+    from gabril_carla_tpu.ops.pallas_raster import NEAR_PREFIX
+    assert float(cam_scalars[11]) > NEAR_PREFIX[0]
+    _assert_kernel_matches_oracle(spec, st)
+
+
+def test_pallas_box_prefix_branches():
+    """Crowded scene exercises the >24-boxes composite branch; the ordinary
+    scene exercises the <=12 branch (both must match the oracle)."""
+    spec, st = scene()
+    veh = st.vehicles
+    n = veh.pos.shape[0]
+    # drop a grid of live vehicles right in front of the camera
+    k = min(n, 30)
+    gx = 12.0 + 4.0 * (np.arange(k) % 6)
+    gy = -6.0 + 2.5 * (np.arange(k) // 6)
+    pos = np.asarray(veh.pos).copy()
+    pos[:k] = np.stack([gx, gy], 1)
+    alive = np.asarray(veh.alive).copy()
+    alive[:k] = True
+    wk = st.walkers
+    nw = min(wk.pos.shape[0], 6)
+    wpos = np.asarray(wk.pos).copy(); wpos[:nw] = np.stack(
+        [14.0 + 3.0 * np.arange(nw), np.full(nw, 3.0)], 1)
+    walive = np.asarray(wk.alive).copy(); walive[:nw] = True
+    st = st.replace(vehicles=veh.replace(pos=jnp.asarray(pos), alive=jnp.asarray(alive)),
+                    walkers=wk.replace(pos=jnp.asarray(wpos), alive=jnp.asarray(walive)))
+    cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
+    boxes = jnp.concatenate(
+        [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
+    )
+    weather = R.weather_now(spec, st)
+    cam_scalars, _, _ = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
+    assert float(cam_scalars[15]) > 24
+    _assert_kernel_matches_oracle(spec, st)
