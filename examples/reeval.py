@@ -37,14 +37,19 @@ def main():
     from gabril_carla_tpu.data import seen_routes, unseen_routes
 
     p = argparse.ArgumentParser()
-    p.add_argument("--suite_dir", required=True, help="suite root holding seed*/ dirs (or itself a seed dir)")
+    p.add_argument("--suite_dir", required=True, nargs="+",
+                   help="suite roots holding seed*/ dirs (or themselves seed dirs); "
+                        "evaluating several suites in one process reuses compiled "
+                        "rollouts across same-architecture checkpoints")
     p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
     p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
     p.add_argument("--eval_steps", type=int, default=1600)
     p.add_argument("--methods", nargs="*", default=None,
                    help="method-spec labels in suite order; used to label runs whose "
                         "(gaze, dropout) manifest pair is ambiguous (e.g. a lambda sweep)")
-    p.add_argument("--confounded", action="store_true")
+    p.add_argument("--confounded", action="store_true",
+                   help="force the two-pass overlay eval; by default each seed dir "
+                        "inherits the 'confounded' flag saved in its report.json")
     p.add_argument("--oracle_heat", action="store_true",
                    help="drop the frozen gaze predictor and feed heat-needing methods the "
                         "analytic scene-graph heat directly — isolates predictor quality "
@@ -56,12 +61,18 @@ def main():
                    help="restrict to checkpoints whose resolved label is in this list")
     args = p.parse_args()
 
-    root = Path(args.suite_dir)
-    seed_dirs = sorted(d for d in root.glob("seed*") if d.is_dir()) or [root]
+    seed_dirs = []
+    for root in map(Path, args.suite_dir):
+        seed_dirs += sorted(d for d in root.glob("seed*") if d.is_dir()) or [root]
 
     seen, unseen = seen_routes(), unseen_routes()
     all_specs = jax.tree.map(jnp.asarray, load_benchmark_specs(args.routes_xml, seen + unseen))
     idx_of = {r: i for i, r in enumerate(seen + unseen)}
+
+    # Checkpoints sharing (architecture config, confounded, predictor
+    # presence) trace to the same jaxpr; reusing the jitted rollout keyed on
+    # that signature turns ~90 tunnel compiles into ~10 for a full re-anchor.
+    roll_cache: dict = {}
 
     for seed_dir in seed_dirs:
         run_dirs = sorted((seed_dir / "runs" / "Mixed_").glob("*/checkpoints"))
@@ -81,8 +92,9 @@ def main():
         report_path = seed_dir / "report.json"
         old = json.loads(report_path.read_text()) if report_path.exists() else {}
         labels = args.methods or list(old.get("methods", {}))
+        confounded = args.confounded or bool(old.get("confounded", False))
         report = {**{k: v for k, v in old.items() if k != "methods"},
-                  "reeval": True, "confounded": args.confounded, "methods": {}}
+                  "reeval": True, "confounded": confounded, "methods": {}}
 
         for k, ckpt in enumerate(run_dirs):
             agent = BCAgent(ckpt)
@@ -100,13 +112,17 @@ def main():
             if args.only is not None and label not in args.only:
                 continue
 
-            roll = make_rollout_fn(agent.policy_fn(), agent.cfg, steps=args.eval_steps,
-                                   use_analytic_gaze=True, gaze_predictor_apply=gp_apply,
-                                   confounded=args.confounded)
+            sig = (json.dumps(agent.cfg, sort_keys=True, default=str),
+                   confounded, gp_apply is not None, args.eval_steps)
+            if sig not in roll_cache:
+                roll = make_rollout_fn(agent.policy_fn(), agent.cfg, steps=args.eval_steps,
+                                       use_analytic_gaze=True, gaze_predictor_apply=gp_apply,
+                                       confounded=confounded)
+                roll_cache[sig] = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
+            roll_v = roll_cache[sig]
             eval_params = dict(agent.params)
             if gp_params is not None:
                 eval_params["gaze_predictor"] = gp_params
-            roll_v = jax.jit(jax.vmap(roll, in_axes=(0, None, 0)))
 
             results = {}
             for split, routes in (("seen", seen), ("unseen", unseen)):

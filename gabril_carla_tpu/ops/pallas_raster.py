@@ -133,9 +133,10 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
                                            unroll=unroll)[1:]
 
     # full loop as the prefix-overflow fallback: rare (tight hairpins /
-    # roundabouts crowding a near tile's distance disc), so rolled 8-wide
-    # to keep the code-size cost of 4 extra variants down
-    rolled_full = run_to(view, 8)
+    # roundabouts crowding a near tile's distance disc), so fully rolled —
+    # Mosaic lowers fori_loop only at unroll=1 or unroll=num_steps, and the
+    # unrolled variant would pay its code size on every tile
+    rolled_full = run_to(view, 1)
 
     def ground_loop(_):
         # tile pairs share a prefix class; counts validate the static prefix
