@@ -1,11 +1,11 @@
 #!/bin/bash
 # Post-suite round-3 TPU sequence, run after run_suites_r3.sh prints ALL DONE:
 #   1. bench.py with the depth-prefix render kernel (the round-3 perf number)
-#   2. re-anchor EVERY suite's checkpoints under the current env/criteria —
-#      the suites ran for ~7h while the two-detector lane test, the NPC
-#      swept-path yield, and the expert retune landed, so each suite was
-#      evaluated under slightly different semantics; reeval replays all
-#      evals from the persisted checkpoints on one code version
+#   2. re-anchor the STALE suites under the current env/criteria: core ran
+#      before the two-detector lane test (5022538) and the NPC swept-path
+#      yield (8cb6b36); conf ran before the yield fix. sparse/lam/clip0/rest
+#      already ran on current semantics (suite process start times vs commit
+#      times), so only core+conf need the replay
 #   3. oracle-heat AGIL diagnostic: AGIL fed the analytic heat directly
 #      (no frozen predictor) — isolates predictor quality from the method
 set -u
@@ -20,7 +20,7 @@ done
 
 for attempt in 1 2; do
   timeout 14400 python -u examples/reeval.py \
-    --suite_dir "$OUT"/core "$OUT"/conf "$OUT"/sparse "$OUT"/lam "$OUT"/clip0 "$OUT"/rest \
+    --suite_dir "$OUT"/core "$OUT"/conf \
     >> "$OUT/reeval.log" 2>&1 && { echo "reeval OK (attempt $attempt)"; break; }
   echo "reeval attempt $attempt failed (rc=$?)" | tee -a "$OUT/reeval.log"; sleep 420
 done
