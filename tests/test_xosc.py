@@ -1,0 +1,156 @@
+"""OpenSCENARIO ingestion: env/xosc.py against synthetic + reference files."""
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gabril_carla_tpu.env.world import SCENARIO_TYPES, build_world_spec
+from gabril_carla_tpu.env.xosc import load_xosc
+
+REF_EXAMPLES = Path("/root/reference/vlm_gaze/eval/srunner/examples")
+
+SYNTH = """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" description="CARLA:SynthCrossing" author=""/>
+  <ParameterDeclarations>
+    <ParameterDeclaration name="walkSpeed" parameterType="double" value="2.5"/>
+  </ParameterDeclarations>
+  <RoadNetwork><LogicFile filepath="Town07"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz_2020" vehicleCategory="car"/>
+    </ScenarioObject>
+    <ScenarioObject name="adversary">
+      <Pedestrian model="walker.pedestrian.0001" mass="90" name="w" pedestrianCategory="pedestrian"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <GlobalAction>
+          <EnvironmentAction>
+            <Environment name="E">
+              <Weather cloudState="overcast">
+                <Sun intensity="0.85" azimuth="0" elevation="0.5235987755982988"/>
+                <Fog visualRange="150.0"/>
+                <Precipitation precipitationType="rain" intensity="0.4"/>
+              </Weather>
+            </Environment>
+          </EnvironmentAction>
+        </GlobalAction>
+        <Private entityRef="hero">
+          <PrivateAction><TeleportAction><Position>
+            <WorldPosition x="10" y="20" z="0" h="0.0"/>
+          </Position></TeleportAction></PrivateAction>
+        </Private>
+        <Private entityRef="adversary">
+          <PrivateAction><TeleportAction><Position>
+            <RelativeWorldPosition entityRef="hero" dx="60" dy="-4"/>
+          </Position></TeleportAction></PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="S"><Act name="A"><ManeuverGroup name="M" maximumExecutionCount="1">
+      <Actors selectTriggeringEntities="false"><EntityRef entityRef="adversary"/></Actors>
+      <Maneuver name="Cross">
+        <Event name="Walk" priority="overwrite">
+          <Action name="Walk"><PrivateAction><LongitudinalAction><SpeedAction>
+            <SpeedActionDynamics dynamicsShape="step" value="1" dynamicsDimension="time"/>
+            <SpeedActionTarget><AbsoluteTargetSpeed value="$walkSpeed"/></SpeedActionTarget>
+          </SpeedAction></LongitudinalAction></PrivateAction></Action>
+          <StartTrigger><ConditionGroup>
+            <Condition name="Near" delay="0" conditionEdge="rising">
+              <ByEntityCondition>
+                <TriggeringEntities triggeringEntitiesRule="any"><EntityRef entityRef="hero"/></TriggeringEntities>
+                <EntityCondition><RelativeDistanceCondition entityRef="adversary"
+                  relativeDistanceType="cartesianDistance" value="18.0" freespace="false" rule="lessThan"/></EntityCondition>
+              </ByEntityCondition>
+            </Condition>
+          </ConditionGroup></StartTrigger>
+        </Event>
+      </Maneuver>
+    </ManeuverGroup></Act></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+@pytest.fixture()
+def synth_path(tmp_path):
+    p = tmp_path / "SynthCrossing.xosc"
+    p.write_text(SYNTH)
+    return p
+
+
+def test_synthetic_parse(synth_path):
+    route = load_xosc(synth_path)
+    assert route["town"] == "Town07"
+    assert route["name"] == "SynthCrossing"
+    # straight route east from (10, 20)
+    wps = route["waypoints"]
+    assert np.allclose(wps[0], [10, 20]) and wps[-1][0] > 140
+    assert np.allclose(wps[:, 1], 20)
+    # pedestrian adversary at hero+60 -> PedestrianCrossing armed 18 m before
+    (rec,) = route["scenarios"]
+    assert rec["type"] == "PedestrianCrossing"
+    assert rec["distance"] == pytest.approx(18.0)
+    assert rec["trigger"][0] == pytest.approx(10 + 60 - 18)
+    assert rec["speed"] == pytest.approx(2.5)  # $walkSpeed substituted
+    # weather: overcast / rain 40% / fog from 150 m range / sun 30 deg
+    cloud, rain, fog, sun = route["weather"]
+    assert cloud == 85.0 and rain == pytest.approx(40.0)
+    assert fog == pytest.approx((1 - 150 / 300) * 100)
+    assert sun == pytest.approx(30.0)
+
+
+def test_synthetic_compiles_and_runs(synth_path):
+    import jax
+    import jax.numpy as jnp
+
+    from gabril_carla_tpu.env.env import DrivingEnv
+
+    route = load_xosc(synth_path)
+    spec = build_world_spec(route, ambient=False)
+    assert SCENARIO_TYPES[route["scenarios"][0]["type"]] == 6
+    spec = jax.tree.map(jnp.asarray, spec)
+    env = DrivingEnv()
+    state = env.reset(spec, jax.random.PRNGKey(0))
+
+    def body(st, _):
+        st = env.step(spec, st, jnp.zeros(7), jax.random.PRNGKey(1))
+        return st, st.ego.pos[0]
+
+    state, xs = jax.lax.scan(body, state, None, length=40)
+    assert np.isfinite(np.asarray(xs)).all()
+    # crossing walkers are compiled in near the adversary's arclength
+    assert int(np.asarray(spec.walk_count)) == 3
+
+
+def test_lane_position_gated(tmp_path):
+    bad = SYNTH.replace(
+        '<WorldPosition x="10" y="20" z="0" h="0.0"/>',
+        '<LanePosition roadId="4" laneId="-1" offset="1.0" s="48.58"/>')
+    p = tmp_path / "bad.xosc"
+    p.write_text(bad)
+    with pytest.raises(ValueError, match="LanePosition"):
+        load_xosc(p)
+
+
+@pytest.mark.skipif(not REF_EXAMPLES.exists(), reason="reference checkout absent")
+def test_reference_examples_world_positions():
+    for name, expected in [("CyclistCrossing", "DynamicObjectCrossing"),
+                           ("PedestrianCrossingFront", "PedestrianCrossing")]:
+        route = load_xosc(REF_EXAMPLES / f"{name}.xosc")
+        (rec,) = route["scenarios"]
+        assert rec["type"] == expected, name
+        spec = build_world_spec(route, ambient=False)
+        assert float(np.asarray(spec.route_len)) > 50.0
+
+
+@pytest.mark.skipif(not REF_EXAMPLES.exists(), reason="reference checkout absent")
+def test_reference_road_position_gated():
+    # FollowLeadingVehicle places the hero by RoadPosition (needs OpenDRIVE)
+    with pytest.raises(ValueError, match="RoadPosition"):
+        load_xosc(REF_EXAMPLES / "FollowLeadingVehicle.xosc")
