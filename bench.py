@@ -24,8 +24,28 @@ ROUTES_XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
 
 
 def main() -> int:
+    # The tunneled TPU backend hangs indefinitely (not errors) when its
+    # relay is down; a hung bench is worse than a failed one for whoever
+    # runs this as a gate. Watchdog: if device init hasn't completed in
+    # 180 s, report and hard-exit non-zero (no JSON line — a fabricated
+    # number would read as a perf regression).
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(180.0):
+            print("bench: backend init exceeded 180s (TPU relay down?) — aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    ready.set()
 
     from gabril_carla_tpu.env import DrivingEnv
     from gabril_carla_tpu.env.world import build_world_spec, load_benchmark_specs, stack_specs
