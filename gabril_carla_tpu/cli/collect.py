@@ -29,7 +29,9 @@ def main(argv=None):
     from .eval_routes import DEFAULT_XML
 
     p = argparse.ArgumentParser()
-    p.add_argument("--route", type=int, required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--route", type=int, help="bench2drive220 route id")
+    src.add_argument("--xosc", help="OpenSCENARIO .xosc file (env/xosc.py subset)")
     p.add_argument("--seeds", type=int, nargs="+", default=[200])
     p.add_argument("--routes_xml", default=DEFAULT_XML)
     p.add_argument("--steps", type=int, default=1200)
@@ -39,8 +41,16 @@ def main(argv=None):
                    help="also write episode.gif (AutonomousAgent's moviepy export parity)")
     args = p.parse_args(argv)
 
-    specs = load_benchmark_specs(args.routes_xml, [args.route])
-    spec = jax.tree.map(lambda a: jnp.asarray(a[0]), specs)
+    if args.xosc:
+        from ..env.xosc import load_xosc
+
+        route_dict = load_xosc(args.xosc)
+        spec = jax.tree.map(jnp.asarray, build_world_spec(route_dict))
+        route_label = route_dict["name"]
+    else:
+        specs = load_benchmark_specs(args.routes_xml, [args.route])
+        spec = jax.tree.map(lambda a: jnp.asarray(a[0]), specs)
+        route_label = args.route
     env = DrivingEnv()
 
     replay_actions = None
@@ -63,7 +73,7 @@ def main(argv=None):
     for seed in args.seeds:
         state, (frames, actions, gazes) = roll(jax.random.PRNGKey(seed))
         n = int(np.asarray(state.t))  # valid ticks (world freezes at done)
-        ep = Path(args.out) / f"route_{args.route}" / f"seed_{seed}"
+        ep = Path(args.out) / f"route_{route_label}" / f"seed_{seed}"
         ep.mkdir(parents=True, exist_ok=True)
         obs = (np.asarray(frames[:n]) * 255).astype(np.uint8)[..., None].repeat(3, -1)
         np.savez_compressed(ep / "observations.npz", observations=obs)
@@ -76,10 +86,10 @@ def main(argv=None):
             pil[0].save(ep / "episode.gif", save_all=True, append_images=pil[1:],
                         duration=50, loop=0)
         score = compute_score(spec, state)
-        rec = route_record(args.route, seed, score, duration_game=n * 0.05,
+        rec = route_record(route_label, seed, score, duration_game=n * 0.05,
                            route_length=float(spec.route_len))
         write_stats_json(args.out, rec)
-        print(f"route {args.route} seed {seed}: {n} ticks, "
+        print(f"route {route_label} seed {seed}: {n} ticks, "
               f"score {rec['scores']['score_composed']:.2f} [{rec['status']}] -> {ep}")
     return 0
 
