@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--task", default="Mixed_", help="task name or 'Mixed_'")
     p.add_argument("--split", default="test", choices=["train", "test", "test_unseen"])
     p.add_argument("--route_id", type=int, default=None, help="single route override")
+    p.add_argument("--xosc", default=None,
+                   help="evaluate on an OpenSCENARIO .xosc storyboard (env/xosc.py "
+                        "subset) instead of benchmark routes")
     p.add_argument("--seeds", type=int, nargs="*", default=None)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out", default="eval_out")
@@ -45,7 +48,13 @@ def main(argv=None):
                         "(autonomous_agent.py:118-132 parity)")
     args = p.parse_args(argv)
 
-    if args.route_id is not None:
+    xosc_route = None
+    if args.xosc is not None:
+        from ..env.xosc import load_xosc
+
+        xosc_route = load_xosc(args.xosc)
+        pairs = [(xosc_route["id"], s) for s in (args.seeds or [400])]
+    elif args.route_id is not None:
         pairs = [(args.route_id, s) for s in (args.seeds or [400])]
     else:
         pairs = TASK_TO_ROUTE[args.task][args.split]
@@ -63,9 +72,16 @@ def main(argv=None):
         return 0
 
     agent = BCAgent(args.checkpoint, epoch=args.epoch)
-    route_ids = sorted({r for r, _ in pairs})
-    specs = load_benchmark_specs(args.routes_xml, route_ids)
-    specs = jax.tree.map(jax.numpy.asarray, specs)
+    if xosc_route is not None:
+        from ..env.world import build_world_spec
+
+        route_ids = [xosc_route["id"]]
+        specs = jax.tree.map(lambda a: jax.numpy.asarray(a)[None],
+                             build_world_spec(xosc_route))
+    else:
+        route_ids = sorted({r for r, _ in pairs})
+        specs = jax.tree.map(jax.numpy.asarray,
+                             load_benchmark_specs(args.routes_xml, route_ids))
     idx_of = {r: i for i, r in enumerate(route_ids)}
 
     needs_heat = agent.cfg.gaze["method"] in ("Mask", "ViSaRL", "AGIL") or \
