@@ -1,6 +1,7 @@
 from .state import SceneState, EgoState, ActorPool, WalkerPool, ScenarioState, Criteria
 from .world import WorldSpec, SCENARIO_TYPES
 from .env import DrivingEnv
+from .xosc import load_xosc
 
 __all__ = [
     "SceneState",
@@ -12,4 +13,5 @@ __all__ = [
     "WorldSpec",
     "SCENARIO_TYPES",
     "DrivingEnv",
+    "load_xosc",
 ]
