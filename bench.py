@@ -93,6 +93,22 @@ def main() -> int:
 
     env = DrivingEnv()
 
+    # Pre-flight: prove the Pallas kernel actually lowers on this chip before
+    # tracing the full benchmark graph. Interpret-mode CI cannot catch Mosaic
+    # lowering rejections (fori_loop unroll limits etc.); if the kernel fails
+    # here, fall back to the XLA render path and still report a number.
+    fallback = ""
+    if jax.default_backend() == "tpu":
+        try:
+            spec0 = jax.tree.map(lambda a: a[0], specs)
+            st0 = env.reset(spec0, jax.random.PRNGKey(0))
+            np.asarray(jax.jit(render_frame)(spec0, st0))
+        except Exception as e:  # noqa: BLE001 — any lowering/compile failure
+            print(f"bench: Pallas render failed on this backend ({type(e).__name__}: "
+                  f"{e}); falling back to XLA render path", file=sys.stderr, flush=True)
+            os.environ["GABRIL_FORCE_XLA_RENDER"] = "1"
+            fallback = "+xla_render_fallback"
+
     def one_world_step(spec, state, frames, params):
         frame = render_frame(spec, state)
         frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
@@ -128,7 +144,7 @@ def main() -> int:
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 20.0, 1),
-                "mode": mode,
+                "mode": mode + fallback,
             }
         )
     )

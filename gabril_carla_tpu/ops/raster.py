@@ -322,7 +322,14 @@ def render_frame(spec, state) -> jnp.ndarray:
     TPU path: one fused Pallas kernel (pallas_raster.render_frame_pallas);
     CPU path: the reference XLA formulation below (kept as the numeric oracle
     for kernel tests). Both composite the same box list (actors + signals).
+
+    GABRIL_FORCE_XLA_RENDER=1 forces the XLA path even on TPU — the escape
+    hatch bench.py's pre-flight kernel probe pulls when a new kernel
+    revision fails Mosaic lowering on the real chip (interpret-mode tests
+    cannot prove lowering; a slower number beats a crashed benchmark).
     """
+    import os as _os
+
     ego = state.ego
     cam, fwd, right = _camera_basis(ego.pos, ego.yaw)
     boxes = jnp.concatenate(
@@ -330,7 +337,7 @@ def render_frame(spec, state) -> jnp.ndarray:
     )
     weather = weather_now(spec, state)
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not _os.environ.get("GABRIL_FORCE_XLA_RENDER"):
         from .pallas_raster import render_frame_pallas
 
         cam_scalars, cols, cboxes = _pallas_inputs(spec, state, cam, fwd, right,
