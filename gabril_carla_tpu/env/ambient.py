@@ -47,7 +47,12 @@ OPP_BEHIND_DESPAWN = 15.0  # opposite traffic passes the ego and recycles
 
 
 def _in_window(s, win):
-    return (s >= win[0]) & (s <= win[1]) & (win[1] > win[0])
+    """Inside ANY of the [K, 2] keep-clear windows (one per scenario slot;
+    an empty slot has hi <= lo and never matches). ``s`` scalar or [n]."""
+    s = jnp.asarray(s)
+    hit = ((s[..., None] >= win[..., 0]) & (s[..., None] <= win[..., 1])
+           & (win[..., 1] > win[..., 0]))
+    return jnp.any(hit, axis=-1)
 
 
 def ambient_reset(spec, vehicles: ActorPool) -> ActorPool:
@@ -120,8 +125,8 @@ def ambient_step(spec, state: SceneState, key) -> SceneState:
     is_amb = is_same | is_opp
 
     # ---- clears + far-behind despawn + invalid opposite-lane segments
-    win = jnp.where(is_same[:, None], spec.amb_clear[None], spec.amb_opp_clear[None])
-    in_clear = (v.flow_s >= win[:, 0]) & (v.flow_s <= win[:, 1]) & (win[:, 1] > win[:, 0])
+    in_clear = jnp.where(is_same, _in_window(v.flow_s, spec.amb_clear),
+                         _in_window(v.flow_s, spec.amb_opp_clear))
     behind = jnp.where(is_same, ego_s - v.flow_s > BEHIND_DESPAWN,
                        ego_s - v.flow_s > OPP_BEHIND_DESPAWN)
     s_i = jnp.clip(v.flow_s.astype(jnp.int32), 0, spec.opp_ok.shape[0] - 1)

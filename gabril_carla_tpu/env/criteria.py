@@ -84,9 +84,10 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     # lanes (the scenario flow polylines), so both reduce to the signed
     # lateral offset from the route centerline plus a crossing-pavement test.
     s_here = new_idx.astype(jnp.float32)
-    in_allow = (
-        (s_here >= spec.lane_allow[0]) & (s_here <= spec.lane_allow[1])
-        & (spec.lane_allow[1] > spec.lane_allow[0])
+    # one allow-window per scenario slot ([K, 2]); inside ANY of them counts
+    in_allow = jnp.any(
+        (s_here >= spec.lane_allow[:, 0]) & (s_here <= spec.lane_allow[:, 1])
+        & (spec.lane_allow[:, 1] > spec.lane_allow[:, 0])
     )
     tang = spec.route_dir[new_idx]
     delta_r = ego.pos - spec.route_xy[new_idx]
@@ -263,14 +264,16 @@ def compute_score(spec, state: SceneState) -> dict:
     # YieldToEmergencyVehicleTest (atomic_criteria.py:2093): infraction when
     # the ego held the emergency vehicle up for a sustained stretch
     # (scenario.aux accumulates EV-held seconds in scenarios._yield_emergency)
-    ev_failed = (spec.scenario_type == 11) & (state.scenario.aux > 8.0)
+    ev_failed = jnp.any((spec.scenario_type == 11) & (state.scenario.aux > 8.0))
     penalty = (
         C.PENALTY_COLLISION_PEDESTRIAN ** pf(crit.collisions_pedestrian)
         * C.PENALTY_COLLISION_VEHICLE ** pf(crit.collisions_vehicle)
         * C.PENALTY_COLLISION_STATIC ** pf(crit.collisions_static)
         * C.PENALTY_RED_LIGHT ** pf(crit.red_light)
         * C.PENALTY_STOP_SIGN ** pf(crit.stop_infraction)
-        * jnp.where(state.scenario.timed_out, C.PENALTY_SCENARIO_TIMEOUT, 1.0)
+        # one 0.7x per timed-out scenario slot (ScenarioTimeoutTest fires
+        # per scenario in the reference's route tree)
+        * jnp.prod(jnp.where(state.scenario.timed_out, C.PENALTY_SCENARIO_TIMEOUT, 1.0))
         * jnp.where(ev_failed, C.PENALTY_YIELD_EMERGENCY, 1.0)
     )
     # OUTSIDE_ROUTE_LANES: 'increases' with value 0 -> *= (1 - pct_outside/100)
@@ -298,7 +301,7 @@ def compute_score(spec, state: SceneState) -> dict:
         "stop_infraction": crit.stop_infraction,
         "outside_route_lanes_pct": pct_outside,
         "min_speed_penalty": crit.ms_penalty * final_factor,
-        "scenario_timeout": state.scenario.timed_out,
+        "scenario_timeout": jnp.any(state.scenario.timed_out),
         "yield_emergency": ev_failed,
         "blocked": crit.blocked,
         "deviated": crit.deviated,

@@ -103,7 +103,7 @@ class DrivingEnv:
             vehicles=vehicles,
             walkers=WalkerPool.empty(),
             statics=statics,
-            scenario=ScenarioState.init(N_FLOWS).replace(
+            scenario=ScenarioState.init(N_FLOWS, n_scen=spec.scenario_type.shape[0]).replace(
                 next_gap=0.5 * (jnp.asarray(spec.flow_gap_lo) + jnp.asarray(spec.flow_gap_hi))
             ),
             criteria=Criteria.init(),

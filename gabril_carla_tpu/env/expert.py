@@ -68,8 +68,8 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     has_blocker = jnp.isfinite(blocker_s)
     # overtakes only where the scenario legitimizes the opposite lane
     # (TwoWays families); elsewhere — e.g. BlockedIntersection — wait it out
-    stype = spec.scenario_type
-    overtake_scenario = (stype == 2) | (stype == 5) | (stype == 9)
+    stype = spec.scenario_type  # [K] scenario slots per route
+    overtake_scenario = jnp.any((stype == 2) | (stype == 5) | (stype == 9))
     # overtake window: approach 10 m before the first blocker, return 8 m after
     in_overtake = (
         overtake_scenario & has_blocker
@@ -98,9 +98,12 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
 
     # ---------- emergency vehicle behind (YieldToEmergencyVehicle): pull
     # toward the right lane edge and slow until it has passed
-    ev_rel = veh.pos[0] - ego.pos
+    # the EV rides its scenario slot's scripted-vehicle base (one EV
+    # scenario per route; with none, the mask is all-False and evb is moot)
+    evb = spec.scen_veh_base[jnp.argmax(stype == 11)]
+    ev_rel = veh.pos[evb] - ego.pos
     ev_yield = (
-        (stype == 11) & veh.alive[0] & (veh.mode[0] == 2)
+        jnp.any(stype == 11) & veh.alive[evb] & (veh.mode[evb] == 2)
         & ((ev_rel @ heading) < 3.0) & (jnp.linalg.norm(ev_rel) < 32.0)
     )
     target_offset = jnp.where(ev_yield, -1.9, target_offset)
@@ -168,7 +171,7 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     # ParkingExit (scen_aux[3] marker): the ego starts inside a parked row;
     # the hemming statics sit dead ahead in the heading corridor, so treating
     # them as hazards deadlocks the pull-out — steering clears them.
-    parking_exit = (stype == 0) & (spec.scen_aux[3] > 0.5) & (s_ego < 18.0)
+    parking_exit = jnp.any((stype == 0) & (spec.scen_aux[:, 3] > 0.5)) & (s_ego < 18.0)
     hazard = close_lead
     hazard |= corridor_hit(st.pos, st.alive & ~do_overtake & ~parking_exit,
                            HAZARD_HALF_WIDTH, HAZARD_AHEAD)
@@ -210,7 +213,7 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     # out for a committed ego). scenario.aux is the junction wait clock
     # (scenarios._junction_wait): latched through the launch, cleared only
     # once the ego is through the crossing.
-    waited = jnp.where(stype == 4, state.scenario.aux, 0.0)
+    waited = jnp.sum(jnp.where(stype == 4, state.scenario.aux, 0.0))
     # escalating patience: 1.9 s -> 1.2 s -> 0.9 s. Never below 0.9 s: a
     # 12 m/s bike needs v^2/(2*9) = 8 m to stop, so launching inside its
     # stopping distance is a guaranteed hit no matter who yields.

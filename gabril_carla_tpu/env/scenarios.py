@@ -2,8 +2,13 @@
 
 Each Bench2Drive scenario type from the benchmark's 10 tasks becomes a pure
 function advancing a small integer phase machine plus the shared flow-spawner.
-Dispatch is lax.switch on WorldSpec.scenario_type; every branch reads/writes
-the same fixed-shape SceneState, so the whole thing vmaps over mixed batches
+A route carries K scenario slots (the reference's RouteScenario drives
+*several* smaller scenarios along one route, route_scenario.py:55-56); K is a
+per-build static shape, so the step unrolls one lax.switch per slot and a
+single-scenario route compiles to exactly the one-switch program. Every
+branch reads/writes the same fixed-shape SceneState, addressing its own
+resources through the slot's compile-time windows (WorldSpec.scen_veh_base /
+scen_walk_base / scen_walk_n), so the whole thing vmaps over mixed batches
 of different scenario types.
 
 Behavioral contracts: srunner/scenarios/parking_cut_in.py:41-44 (cut-in at
@@ -16,6 +21,8 @@ uniform-gap spawning, scenario timeout 240 s).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -89,11 +96,12 @@ def _ego_s(state: SceneState) -> jnp.ndarray:
     return state.ego.route_idx.astype(jnp.float32)
 
 
-def _activate_walkers(spec, state: SceneState) -> SceneState:
+def _activate_walkers(spec, state: SceneState, k: int) -> SceneState:
+    """Release scenario slot k's walker window [walk_base, walk_base+walk_n)."""
     w = state.walkers
     n = w.pos.shape[0]
     idx = jnp.arange(n)
-    newly = idx < spec.walk_count
+    newly = (idx >= spec.scen_walk_base[k]) & (idx < spec.scen_walk_base[k] + spec.scen_walk_n[k])
     return state.replace(
         walkers=w.replace(
             pos=jnp.where(newly[:, None], spec.walk_pos, w.pos),
@@ -104,103 +112,110 @@ def _activate_walkers(spec, state: SceneState) -> SceneState:
     )
 
 
-def _noop(spec, state: SceneState) -> SceneState:
+def _noop(spec, state: SceneState, k: int) -> SceneState:
     return state
 
 
-def _parking_cut_in(spec, state: SceneState) -> SceneState:
+def _parking_cut_in(spec, state: SceneState, k: int) -> SceneState:
     """Parked car pulls out at 13 m/s when ego closes within 25 m of it."""
-    s_cut = spec.scen_aux[0]
+    s_cut = spec.scen_aux[k, 0]
+    vb = spec.scen_veh_base[k]
     veh = state.vehicles
-    trigger = (state.scenario.phase == 0) & (_ego_s(state) >= s_cut - 25.0)
-    phase = jnp.where(trigger, 1, state.scenario.phase)
+    trigger = (state.scenario.phase[k] == 0) & (_ego_s(state) >= s_cut - 25.0)
+    phase = jnp.where(trigger, 1, state.scenario.phase[k])
     # on trigger: becomes a lane-follower starting at its parked arclength,
     # offset decays to lane center as it accelerates
     veh = veh.replace(
-        mode=veh.mode.at[0].set(jnp.where(trigger, 2, veh.mode[0])),
-        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, s_cut, veh.flow_s[0])),
-        lane_offset=veh.lane_offset.at[0].set(
+        mode=veh.mode.at[vb].set(jnp.where(trigger, 2, veh.mode[vb])),
+        flow_s=veh.flow_s.at[vb].set(jnp.where(trigger, s_cut, veh.flow_s[vb])),
+        lane_offset=veh.lane_offset.at[vb].set(
             jnp.where(
-                state.scenario.phase >= 1,
-                jnp.maximum(veh.lane_offset[0] - 2.0 * C.DT, 0.0),
-                jnp.where(trigger, -C.LANE_WIDTH * 0.8, veh.lane_offset[0]),
+                state.scenario.phase[k] >= 1,
+                jnp.maximum(veh.lane_offset[vb] - 2.0 * C.DT, 0.0),
+                jnp.where(trigger, -C.LANE_WIDTH * 0.8, veh.lane_offset[vb]),
             )
         ),
-        target_speed=veh.target_speed.at[0].set(jnp.where(phase >= 1, 13.0, 0.0)),
+        target_speed=veh.target_speed.at[vb].set(jnp.where(phase >= 1, 13.0, 0.0)),
     )
-    return state.replace(vehicles=veh, scenario=state.scenario.replace(phase=phase))
+    return state.replace(vehicles=veh,
+                         scenario=state.scenario.replace(phase=state.scenario.phase.at[k].set(phase)))
 
 
-def _walker_crossing(spec, state: SceneState) -> SceneState:
+def _walker_crossing(spec, state: SceneState, k: int) -> SceneState:
     """DynamicObjectCrossing / PedestrianCrossing: release walkers when close."""
-    s0 = spec.scen_aux[0]
-    trigger = (state.scenario.phase == 0) & (_ego_s(state) >= s0 - 14.0)
-    state = jax.lax.cond(jnp.any(trigger), lambda s: _activate_walkers(spec, s), lambda s: s, state)
-    phase = jnp.where(trigger, 1, state.scenario.phase)
-    return state.replace(scenario=state.scenario.replace(phase=phase))
+    s0 = spec.scen_aux[k, 0]
+    trigger = (state.scenario.phase[k] == 0) & (_ego_s(state) >= s0 - 14.0)
+    state = jax.lax.cond(jnp.any(trigger), lambda s: _activate_walkers(spec, s, k), lambda s: s, state)
+    phase = jnp.where(trigger, 1, state.scenario.phase[k])
+    return state.replace(scenario=state.scenario.replace(phase=state.scenario.phase.at[k].set(phase)))
 
 
-def _blocked_intersection(spec, state: SceneState) -> SceneState:
+def _blocked_intersection(spec, state: SceneState, k: int) -> SceneState:
     """Blocker waits; once ego is within 13 m, pauses 4 s then drives off."""
     sc = state.scenario
-    close = jnp.linalg.norm(state.ego.pos - spec.scen_pos) <= spec.scen_aux[1]
-    phase = jnp.where((sc.phase == 0) & close, 1, sc.phase)
-    go = (phase == 1) & (sc.timer >= 4.0)
+    vb = spec.scen_veh_base[k]
+    close = jnp.linalg.norm(state.ego.pos - spec.scen_pos[k]) <= spec.scen_aux[k, 1]
+    phase = jnp.where((sc.phase[k] == 0) & close, 1, sc.phase[k])
+    go = (phase == 1) & (sc.timer[k] >= 4.0)
     phase = jnp.where(go, 2, phase)
     veh = state.vehicles
     veh = veh.replace(
-        mode=veh.mode.at[0].set(jnp.where(go, 2, veh.mode[0])),
-        flow_s=veh.flow_s.at[0].set(jnp.where(go, spec.scen_aux[0], veh.flow_s[0])),
-        target_speed=veh.target_speed.at[0].set(jnp.where(phase == 2, 8.0, 0.0)),
+        mode=veh.mode.at[vb].set(jnp.where(go, 2, veh.mode[vb])),
+        flow_s=veh.flow_s.at[vb].set(jnp.where(go, spec.scen_aux[k, 0], veh.flow_s[vb])),
+        target_speed=veh.target_speed.at[vb].set(jnp.where(phase == 2, 8.0, 0.0)),
     )
-    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase))
+    return state.replace(vehicles=veh, scenario=sc.replace(phase=sc.phase.at[k].set(phase)))
 
 
-def _hazard_side_lane(spec, state: SceneState) -> SceneState:
+def _hazard_side_lane(spec, state: SceneState, k: int) -> SceneState:
     """Two bicycles ride at the lane edge from the start; stop after bdist."""
     sc = state.scenario
-    start = sc.phase == 0
+    start = sc.phase[k] == 0
     veh = state.vehicles
-    s0, bdist = spec.scen_aux[0], spec.scen_aux[1]
-    for k in range(2):
-        ride = start & veh.alive[k]
+    vb = spec.scen_veh_base[k]
+    s0, bdist = spec.scen_aux[k, 0], spec.scen_aux[k, 1]
+    for j in range(2):
+        i = vb + j
+        ride = start & veh.alive[i]
         veh = veh.replace(
-            mode=veh.mode.at[k].set(jnp.where(ride, 2, veh.mode[k])),
-            flow_s=veh.flow_s.at[k].set(jnp.where(ride, s0 + 8.0 * k, veh.flow_s[k])),
-            lane_offset=veh.lane_offset.at[k].set(
-                jnp.where(ride, -(0.55 * C.LANE_WIDTH / 2), veh.lane_offset[k])
+            mode=veh.mode.at[i].set(jnp.where(ride, 2, veh.mode[i])),
+            flow_s=veh.flow_s.at[i].set(jnp.where(ride, s0 + 8.0 * j, veh.flow_s[i])),
+            lane_offset=veh.lane_offset.at[i].set(
+                jnp.where(ride, -(0.55 * C.LANE_WIDTH / 2), veh.lane_offset[i])
             ),
-            target_speed=veh.target_speed.at[k].set(
-                jnp.where(veh.flow_s[k] - s0 > bdist, 0.0, veh.target_speed[k])
+            target_speed=veh.target_speed.at[i].set(
+                jnp.where(veh.flow_s[i] - s0 > bdist, 0.0, veh.target_speed[i])
             ),
         )
-    phase = jnp.where(start, 1, sc.phase)
-    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase))
+    phase = jnp.where(start, 1, sc.phase[k])
+    return state.replace(vehicles=veh, scenario=sc.replace(phase=sc.phase.at[k].set(phase)))
 
 
-def _junction_adversary(spec, state: SceneState) -> SceneState:
+def _junction_adversary(spec, state: SceneState, k: int) -> SceneState:
     """OppositeVehicle* / VehicleTurningRoute*: when the ego nears the
-    junction, the pre-placed adversary (slot 0) drives the crossing polyline
-    (flow slot 0, one-shot — flow_enabled stays False so the spawner never
-    touches it). The Pedestrian variant also releases its walker."""
-    conflict_s = spec.scen_aux[0]
+    junction, the pre-placed adversary (slot veh_base) drives the crossing
+    polyline (flow slot 0, one-shot — flow_enabled stays False so the spawner
+    never touches it). The Pedestrian variant also releases its walker."""
+    conflict_s = spec.scen_aux[k, 0]
+    vb = spec.scen_veh_base[k]
     veh = state.vehicles
-    trigger = (state.scenario.phase == 0) & (_ego_s(state) >= conflict_s - 28.0)
-    phase = jnp.where(trigger, 1, state.scenario.phase)
+    trigger = (state.scenario.phase[k] == 0) & (_ego_s(state) >= conflict_s - 28.0)
+    phase = jnp.where(trigger, 1, state.scenario.phase[k])
     veh = veh.replace(
-        mode=veh.mode.at[0].set(jnp.where(trigger, 1, veh.mode[0])),
-        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, 0.0, veh.flow_s[0])),
-        target_speed=veh.target_speed.at[0].set(
-            jnp.where(phase >= 1, spec.scen_aux[1], 0.0)),
+        mode=veh.mode.at[vb].set(jnp.where(trigger, 1, veh.mode[vb])),
+        flow_s=veh.flow_s.at[vb].set(jnp.where(trigger, 0.0, veh.flow_s[vb])),
+        target_speed=veh.target_speed.at[vb].set(
+            jnp.where(phase >= 1, spec.scen_aux[k, 1], 0.0)),
     )
     state = state.replace(vehicles=veh)
-    has_walker = spec.walk_count > 0
+    has_walker = spec.scen_walk_n[k] > 0
     state = jax.lax.cond(jnp.any(trigger & has_walker),
-                         lambda s: _activate_walkers(spec, s), lambda s: s, state)
-    return state.replace(scenario=state.scenario.replace(phase=phase))
+                         lambda s: _activate_walkers(spec, s, k), lambda s: s, state)
+    return state.replace(
+        scenario=state.scenario.replace(phase=state.scenario.phase.at[k].set(phase)))
 
 
-def _yield_emergency(spec, state: SceneState) -> SceneState:
+def _yield_emergency(spec, state: SceneState, k: int) -> SceneState:
     """YieldToEmergencyVehicle: an emergency vehicle spawns behind the ego at
     the trigger and closes fast; the ego must make room. scenario.aux
     accumulates the seconds the EV spends held up close behind the ego
@@ -208,24 +223,25 @@ def _yield_emergency(spec, state: SceneState) -> SceneState:
     compute_score). Phase 2 = EV got past (success latch)."""
     sc = state.scenario
     veh = state.vehicles
+    vb = spec.scen_veh_base[k]
     ego_s = _ego_s(state)
-    trigger = (sc.phase == 0) & (ego_s >= spec.scen_aux[0])
-    spawn_s = jnp.maximum(ego_s - spec.scen_aux[1], 0.0)
+    trigger = (sc.phase[k] == 0) & (ego_s >= spec.scen_aux[k, 0])
+    spawn_s = jnp.maximum(ego_s - spec.scen_aux[k, 1], 0.0)
     veh = veh.replace(
-        pos=veh.pos.at[0].set(jnp.where(trigger, spec.route_xy[spawn_s.astype(jnp.int32)], veh.pos[0])),
-        alive=veh.alive.at[0].set(jnp.where(trigger, True, veh.alive[0])),
-        mode=veh.mode.at[0].set(jnp.where(trigger, 2, veh.mode[0])),
-        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, spawn_s, veh.flow_s[0])),
-        lane_offset=veh.lane_offset.at[0].set(jnp.where(trigger, 0.0, veh.lane_offset[0])),
-        direction=veh.direction.at[0].set(jnp.where(trigger, 1.0, veh.direction[0])),
-        target_speed=veh.target_speed.at[0].set(jnp.where(trigger, spec.scen_aux[2], veh.target_speed[0])),
-        speed=veh.speed.at[0].set(jnp.where(trigger, 8.0, veh.speed[0])),
-        half_extent=veh.half_extent.at[0].set(
-            jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[0])),
+        pos=veh.pos.at[vb].set(jnp.where(trigger, spec.route_xy[spawn_s.astype(jnp.int32)], veh.pos[vb])),
+        alive=veh.alive.at[vb].set(jnp.where(trigger, True, veh.alive[vb])),
+        mode=veh.mode.at[vb].set(jnp.where(trigger, 2, veh.mode[vb])),
+        flow_s=veh.flow_s.at[vb].set(jnp.where(trigger, spawn_s, veh.flow_s[vb])),
+        lane_offset=veh.lane_offset.at[vb].set(jnp.where(trigger, 0.0, veh.lane_offset[vb])),
+        direction=veh.direction.at[vb].set(jnp.where(trigger, 1.0, veh.direction[vb])),
+        target_speed=veh.target_speed.at[vb].set(jnp.where(trigger, spec.scen_aux[k, 2], veh.target_speed[vb])),
+        speed=veh.speed.at[vb].set(jnp.where(trigger, 8.0, veh.speed[vb])),
+        half_extent=veh.half_extent.at[vb].set(
+            jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[vb])),
     )
-    phase = jnp.where(trigger, 1, sc.phase)
-    ev_s = veh.flow_s[0]
-    passed = (phase == 1) & veh.alive[0] & (ev_s > ego_s + 6.0)
+    phase = jnp.where(trigger, 1, sc.phase[k])
+    ev_s = veh.flow_s[vb]
+    passed = (phase == 1) & veh.alive[vb] & (ev_s > ego_s + 6.0)
     phase = jnp.where(passed, 2, phase)
     # a laterally-yielding ego lets the EV pull around it on the left
     idx = state.ego.route_idx
@@ -233,48 +249,51 @@ def _yield_emergency(spec, state: SceneState) -> SceneState:
     d = spec.route_dir[idx]
     rel = state.ego.pos - near
     ego_lat = -(d[0] * rel[1] - d[1] * rel[0])  # + = driver's left
-    overtaking = ((phase == 1) & veh.alive[0] & (ego_lat < -1.2)
+    overtaking = ((phase == 1) & veh.alive[vb] & (ego_lat < -1.2)
                   & (ev_s < ego_s + 4.0) & (ego_s - ev_s < 18.0))
-    veh = veh.replace(lane_offset=veh.lane_offset.at[0].set(
-        jnp.where(overtaking, 1.8, jnp.where(passed, 0.0, veh.lane_offset[0]))))
+    veh = veh.replace(lane_offset=veh.lane_offset.at[vb].set(
+        jnp.where(overtaking, 1.8, jnp.where(passed, 0.0, veh.lane_offset[vb]))))
     # EV held up: close behind and forced below its desired speed
-    held = ((phase == 1) & veh.alive[0] & (ev_s < ego_s) & (ego_s - ev_s < 14.0)
-            & (veh.speed[0] < 0.6 * spec.scen_aux[2]))
-    aux = sc.aux + jnp.where(held, C.DT, 0.0)
-    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase, aux=aux))
+    held = ((phase == 1) & veh.alive[vb] & (ev_s < ego_s) & (ego_s - ev_s < 14.0)
+            & (veh.speed[vb] < 0.6 * spec.scen_aux[k, 2]))
+    aux = sc.aux[k] + jnp.where(held, C.DT, 0.0)
+    return state.replace(vehicles=veh, scenario=sc.replace(
+        phase=sc.phase.at[k].set(phase), aux=sc.aux.at[k].set(aux)))
 
 
-def _hard_brake(spec, state: SceneState) -> SceneState:
+def _hard_brake(spec, state: SceneState, k: int) -> SceneState:
     """HardBreakRoute: a lead vehicle materializes cruising ahead of the ego,
     then brakes hard for 4 s once the ego has closed in, then resumes."""
     sc = state.scenario
     veh = state.vehicles
+    vb = spec.scen_veh_base[k]
     ego_s = _ego_s(state)
-    trigger = (sc.phase == 0) & (ego_s >= spec.scen_aux[0] - 40.0)
+    trigger = (sc.phase[k] == 0) & (ego_s >= spec.scen_aux[k, 0] - 40.0)
     spawn_s = ego_s + 22.0
     veh = veh.replace(
-        pos=veh.pos.at[0].set(jnp.where(trigger, spec.route_xy[jnp.clip(spawn_s.astype(jnp.int32), 0, spec.route_xy.shape[0] - 1)], veh.pos[0])),
-        alive=veh.alive.at[0].set(jnp.where(trigger, True, veh.alive[0])),
-        mode=veh.mode.at[0].set(jnp.where(trigger, 2, veh.mode[0])),
-        flow_s=veh.flow_s.at[0].set(jnp.where(trigger, spawn_s, veh.flow_s[0])),
-        direction=veh.direction.at[0].set(jnp.where(trigger, 1.0, veh.direction[0])),
-        speed=veh.speed.at[0].set(jnp.where(trigger, 7.0, veh.speed[0])),
-        half_extent=veh.half_extent.at[0].set(
-            jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[0])),
+        pos=veh.pos.at[vb].set(jnp.where(trigger, spec.route_xy[jnp.clip(spawn_s.astype(jnp.int32), 0, spec.route_xy.shape[0] - 1)], veh.pos[vb])),
+        alive=veh.alive.at[vb].set(jnp.where(trigger, True, veh.alive[vb])),
+        mode=veh.mode.at[vb].set(jnp.where(trigger, 2, veh.mode[vb])),
+        flow_s=veh.flow_s.at[vb].set(jnp.where(trigger, spawn_s, veh.flow_s[vb])),
+        direction=veh.direction.at[vb].set(jnp.where(trigger, 1.0, veh.direction[vb])),
+        speed=veh.speed.at[vb].set(jnp.where(trigger, 7.0, veh.speed[vb])),
+        half_extent=veh.half_extent.at[vb].set(
+            jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[vb])),
     )
-    phase = jnp.where(trigger, 1, sc.phase)
-    close = (phase == 1) & veh.alive[0] & (veh.flow_s[0] - ego_s < 18.0) & (state.ego.speed > 3.0)
+    phase = jnp.where(trigger, 1, sc.phase[k])
+    close = (phase == 1) & veh.alive[vb] & (veh.flow_s[vb] - ego_s < 18.0) & (state.ego.speed > 3.0)
     phase = jnp.where(close, 2, phase)
-    aux = jnp.where(close, sc.timer, sc.aux)  # brake-entry timestamp
-    braking = (phase == 2) & (sc.timer - aux < 4.0)
-    resume = (phase == 2) & (sc.timer - aux >= 4.0)
+    aux = jnp.where(close, sc.timer[k], sc.aux[k])  # brake-entry timestamp
+    braking = (phase == 2) & (sc.timer[k] - aux < 4.0)
+    resume = (phase == 2) & (sc.timer[k] - aux >= 4.0)
     phase = jnp.where(resume, 3, phase)
     target = jnp.where(braking, 0.0, jnp.where(phase >= 1, 7.0, 0.0))
-    veh = veh.replace(target_speed=veh.target_speed.at[0].set(target))
-    return state.replace(vehicles=veh, scenario=sc.replace(phase=phase, aux=aux))
+    veh = veh.replace(target_speed=veh.target_speed.at[vb].set(target))
+    return state.replace(vehicles=veh, scenario=sc.replace(
+        phase=sc.phase.at[k].set(phase), aux=sc.aux.at[k].set(aux)))
 
 
-def _junction_wait(spec, state: SceneState) -> SceneState:
+def _junction_wait(spec, state: SceneState, k: int) -> SceneState:
     """Junction crossing-flow family: negotiation wait clock.
 
     scenario.aux accumulates the seconds the ego has dwelt slowly just short
@@ -287,26 +306,26 @@ def _junction_wait(spec, state: SceneState) -> SceneState:
     """
     sc = state.scenario
     s_ego = _ego_s(state).astype(jnp.float32)
-    cross_s = spec.scen_aux[0]
+    cross_s = spec.scen_aux[k, 0]
     waiting = (s_ego > cross_s - 14.0) & (s_ego < cross_s - 3.0) & (state.ego.speed < 2.5)
-    aux = jnp.where(waiting, sc.aux + C.DT, sc.aux)
+    aux = jnp.where(waiting, sc.aux[k] + C.DT, sc.aux[k])
     aux = jnp.where(s_ego > cross_s + 2.0, 0.0, aux)
-    return state.replace(scenario=sc.replace(aux=aux))
+    return state.replace(scenario=sc.replace(aux=sc.aux.at[k].set(aux)))
 
 
-def _control_loss(spec, state: SceneState) -> SceneState:
+def _control_loss(spec, state: SceneState, k: int) -> SceneState:
     """ControlLoss: ~1.5 s of steering disturbance at the trigger (the
     reference's AddNoiseToVehicle atoms, atomic_behaviors.py:1837-1963)."""
     sc = state.scenario
-    trigger = (sc.phase == 0) & (_ego_s(state) >= spec.scen_aux[0])
-    phase = jnp.where(trigger, 1, sc.phase)
-    active = (phase == 1) & (sc.timer < 1.5)
-    phase = jnp.where((phase == 1) & (sc.timer >= 1.5), 2, phase)
+    trigger = (sc.phase[k] == 0) & (_ego_s(state) >= spec.scen_aux[k, 0])
+    phase = jnp.where(trigger, 1, sc.phase[k])
+    active = (phase == 1) & (sc.timer[k] < 1.5)
+    phase = jnp.where((phase == 1) & (sc.timer[k] >= 1.5), 2, phase)
     ego = state.ego
-    wobble = 0.35 * jnp.sin(sc.timer * 8.0) * jnp.clip(ego.speed / 8.0, 0.0, 1.0)
+    wobble = 0.35 * jnp.sin(sc.timer[k] * 8.0) * jnp.clip(ego.speed / 8.0, 0.0, 1.0)
     yaw = ego.yaw + jnp.where(active, wobble * C.DT * 8.0, 0.0)
     return state.replace(ego=ego.replace(yaw=yaw),
-                         scenario=sc.replace(phase=phase))
+                         scenario=sc.replace(phase=sc.phase.at[k].set(phase)))
 
 
 _BRANCHES = [
@@ -329,7 +348,11 @@ _BRANCHES = [
 
 def scenario_step(spec, state: SceneState, key) -> SceneState:
     state = spawn_flows(spec, state, key)
-    state = jax.lax.switch(spec.scenario_type, _BRANCHES, spec, state)
+    # one switch per scenario slot, unrolled over the static K (1 for every
+    # bench2drive220 route — identical program to the single-machine step)
+    for k in range(spec.scenario_type.shape[0]):
+        branches = [functools.partial(b, k=k) for b in _BRANCHES]
+        state = jax.lax.switch(spec.scenario_type[k], branches, spec, state)
     sc = state.scenario
     active = sc.phase >= 1
     timer = jnp.where(active, sc.timer + C.DT, sc.timer)

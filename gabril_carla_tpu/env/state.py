@@ -87,22 +87,30 @@ class StaticPool:
 
 @struct.dataclass
 class ScenarioState:
-    """Generic phase machine shared by all scenario types."""
+    """Generic phase machines for the route's K scenario slots.
 
-    phase: jnp.ndarray  # int32: 0=waiting for trigger, 1+ type-specific
-    timer: jnp.ndarray  # f32 seconds in current phase
+    The reference's RouteScenario drives *several* smaller scenarios along
+    one route (route_scenario.py:55-56 "along which several smaller
+    scenarios are triggered"); each slot here is one such scenario's phase
+    machine. K is a per-build static (WorldSpec.scenario_type.shape[0],
+    1 for every bench2drive220 route), so single-scenario routes compile
+    to exactly the single-machine program.
+    """
+
+    phase: jnp.ndarray  # [K] int32: 0=waiting for trigger, 1+ type-specific
+    timer: jnp.ndarray  # [K] f32 seconds in current phase
     next_gap: jnp.ndarray  # [N_FLOWS] f32 meters until next flow spawn
-    timeout: jnp.ndarray  # f32 remaining scenario timeout (counts once active)
-    timed_out: jnp.ndarray  # bool, ScenarioTimeoutTest fired
-    aux: jnp.ndarray  # f32 type-specific accumulator (e.g. seconds the ego
+    timeout: jnp.ndarray  # [K] f32 remaining scenario timeout (counts once active)
+    timed_out: jnp.ndarray  # [K] bool, ScenarioTimeoutTest fired
+    aux: jnp.ndarray  # [K] f32 type-specific accumulator (e.g. seconds the ego
     # has blocked the emergency vehicle, hard-brake phase entry time)
 
     @staticmethod
-    def init(n_flows: int = 2) -> "ScenarioState":
+    def init(n_flows: int = 2, n_scen: int = 1) -> "ScenarioState":
         return ScenarioState(
-            phase=jnp.asarray(0, jnp.int32), timer=jnp.asarray(0.0),
-            next_gap=jnp.zeros((n_flows,)), timeout=jnp.asarray(240.0),
-            timed_out=jnp.asarray(False), aux=jnp.asarray(0.0),
+            phase=jnp.zeros((n_scen,), jnp.int32), timer=jnp.zeros((n_scen,)),
+            next_gap=jnp.zeros((n_flows,)), timeout=jnp.full((n_scen,), 240.0),
+            timed_out=jnp.zeros((n_scen,), bool), aux=jnp.zeros((n_scen,)),
         )
 
 

@@ -111,8 +111,13 @@ class WorldSpec:
     route_len: np.ndarray  # () f32 meters
     spawn_pos: np.ndarray  # [2]
     spawn_yaw: np.ndarray  # ()
-    scenario_type: np.ndarray  # () int32
-    trigger_s: np.ndarray  # () f32 arclength of scenario trigger
+    # K scenario slots per route (RouteScenario drives several smaller
+    # scenarios along one route, route_scenario.py:55-56). K is a per-build
+    # static shape — max(1, len(route["scenarios"])) unless the loader pads
+    # to a common K for stacking — so bench routes (1 scenario each) compile
+    # the same single-machine program as before.
+    scenario_type: np.ndarray  # [K] int32
+    trigger_s: np.ndarray  # [K] f32 arclength of each scenario trigger
     # flow slots
     flow_xy: np.ndarray  # [N_FLOWS, F, 2]
     flow_dir: np.ndarray  # [N_FLOWS, F, 2]
@@ -137,10 +142,14 @@ class WorldSpec:
     walk_pos: np.ndarray  # [W, 2]
     walk_vel: np.ndarray  # [W, 2]
     walk_ttl: np.ndarray  # [W]
-    walk_count: np.ndarray  # () int32
-    # misc scalars
-    scen_pos: np.ndarray  # [2] scenario anchor (blocker/adversary position)
-    scen_aux: np.ndarray  # [4] type-specific floats
+    walk_count: np.ndarray  # () int32 total pre-declared walkers
+    # per-scenario resource windows and anchors
+    scen_pos: np.ndarray  # [K, 2] scenario anchor (blocker/adversary position)
+    scen_aux: np.ndarray  # [K, 4] type-specific floats
+    scen_veh_base: np.ndarray  # [K] int32 first scripted-vehicle slot owned
+    # by slot k (scripted block is [0, dynamics.FLOW0_START))
+    scen_walk_base: np.ndarray  # [K] int32 first walker slot owned by slot k
+    scen_walk_n: np.ndarray  # [K] int32 walkers owned by slot k
     route_id: np.ndarray = field(default_factory=lambda: np.int32(0))
     weather: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
     # traffic lights: stop-line arclengths, phase offsets and per-light cycle
@@ -165,13 +174,14 @@ class WorldSpec:
     # HandleJunctionScenario clear_junction/clear_ego_entry)
     amb_enabled: np.ndarray = field(default_factory=lambda: np.bool_(True))
     amb_speed: np.ndarray = field(default_factory=lambda: np.float32(7.0))
-    amb_clear: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))  # same-dir [lo, hi)
-    amb_opp_clear: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))  # opposite lane
-    # route-s window where using the opposite lane is legitimate (TwoWays
+    # one [lo, hi) keep-clear window per scenario slot (empty = hi <= lo)
+    amb_clear: np.ndarray = field(default_factory=lambda: np.zeros((1, 2), np.float32))  # [K, 2] same-dir
+    amb_opp_clear: np.ndarray = field(default_factory=lambda: np.zeros((1, 2), np.float32))  # [K, 2] opposite lane
+    # route-s windows where using the opposite lane is legitimate (TwoWays
     # scenarios invite an overtake around their obstruction; the reference
     # scopes lane-invasion forgiveness to the scenario's activation window,
     # route_obstacles.py behaviors — not to the whole route)
-    lane_allow: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))
+    lane_allow: np.ndarray = field(default_factory=lambda: np.zeros((1, 2), np.float32))  # [K, 2]
     # weather keyframes (RouteWeatherBehavior contract, weather_sim.py:169+:
     # keyframes at route percentages, linearly interpolated as the ego
     # advances, clamped at 0/100%). Columns: route_pct, cloudiness,
@@ -355,12 +365,15 @@ def detect_junctions(xy: np.ndarray, dirs: np.ndarray,
 
 
 def build_world_spec(route: dict, parked: np.ndarray | None = None,
-                     ambient: bool = True) -> WorldSpec:
+                     ambient: bool = True, n_scen: int | None = None) -> WorldSpec:
     """Compile one parsed route into a WorldSpec.
 
-    ``parked``: optional [K, 3] (x, y, yaw) town parked-vehicle slots
+    ``parked``: optional [P, 3] (x, y, yaw) town parked-vehicle slots
     (load_parked_tables); nearby off-lane slots fill statics pool slots 8+.
     ``ambient``: enable BackgroundBehavior-lite ambient traffic (ambient.py).
+    ``n_scen``: pad the route's scenario list to K slots (noop scenarios) so
+    specs with different scenario counts stack into one batch; default K =
+    max(1, len(route["scenarios"])).
     """
     xy = resample_polyline(route["waypoints"], 1.0)
     dirs = _tangents(xy)
@@ -389,8 +402,6 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     flow_gap = np.zeros((N_FLOWS, 2), np.float32)
     flow_enabled = np.zeros(N_FLOWS, bool)
     flow_kind = np.zeros(N_FLOWS, np.int32)
-    scen_pos = np.zeros(2, np.float32)
-    scen_aux = np.zeros(4, np.float32)
 
     tl_stop_s = np.zeros(N_TRAFFIC_LIGHTS, np.float32)
     tl_offset = np.zeros(N_TRAFFIC_LIGHTS, np.float32)
@@ -401,20 +412,50 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     stop_s = np.zeros(C.N_STOPS, np.float32)
     n_stop = 0
 
-    scen = route["scenarios"][0] if route["scenarios"] else {"type": "None"}
-    name = str(scen["type"])
-    stype = SCENARIO_TYPES.get(name, 0)
-    trig_s = _project_s(xy, np.array(scen["trigger"][:2], np.float32)) if "trigger" in scen else 0.0
-    # scenarios whose junction carries no working traffic light
-    nonsignalized = ("NonSignalized" in name) or name in (
-        "OppositeVehicleTakingPriority", "VehicleTurningRoute",
-        "VehicleTurningRoutePedestrian", "T_Junction")
-    if nonsignalized and "Stopsign" in name:
-        # VanillaNonSignalizedTurnEncounterStopsign: stop sign at the trigger
-        stop_s[0] = trig_s
-        n_stop = 1
+    # ---- K scenario slots (the reference's RouteScenario drives *several*
+    # smaller scenarios along one route, route_scenario.py:55-56). K is a
+    # build-time static — max(1, len(scenarios)), or the caller's n_scen pad
+    # for cross-route stacking — so bench2drive220 routes (one scenario each)
+    # compile the same single-machine program as before. Fixed pools are
+    # partitioned by cursor: scripted vehicles [0, dynamics.FLOW0_START),
+    # scenario statics [0, N_SCENARIO_STATICS), walkers [0, N_WALKERS), and
+    # flow slots by ownership — capacity overflows fail loudly at build time.
+    from .dynamics import FLOW0_START as _SCRIPTED_SLOTS
+
+    scen_list = list(route["scenarios"] or []) or [{"type": "None"}]
+    if n_scen is not None:
+        if len(scen_list) > n_scen:
+            raise ValueError(
+                f"route {route.get('id')}: {len(scen_list)} scenarios > n_scen={n_scen}")
+        scen_list = scen_list + [{"type": "None"}] * (n_scen - len(scen_list))
+
+    K = len(scen_list)
+    stypes = np.zeros(K, np.int32)
+    trig_ss = np.zeros(K, np.float32)
+    scen_pos_arr = np.zeros((K, 2), np.float32)
+    scen_aux_arr = np.zeros((K, 4), np.float32)
+    scen_veh_base = np.zeros(K, np.int32)
+    scen_walk_base = np.zeros(K, np.int32)
+    scen_walk_n = np.zeros(K, np.int32)
+    amb_clear = np.zeros((K, 2), np.float32)
+    amb_opp_clear = np.zeros((K, 2), np.float32)
+    lane_allow = np.zeros((K, 2), np.float32)
+
+    # resource cursors + per-scenario usage; the add_* helpers write through
+    # _cur so each scenario's assets land in its own pool window
+    _cur = {"si": 0, "vb": 0, "sb": 0, "wb": 0, "veh": 0, "stat": 0, "walk": 0}
+    flow_owner: list = [None, None]
+    spawn_override = None
+    encounter_reqs = []  # (name, trig_s): light phasing after the global fill
+    nonsig_trigs = []  # trigger arclengths of nonsignalized-junction scenarios
 
     def set_flow(slot, pts, speed, gap, kind=0):
+        if flow_owner[slot] is not None and flow_owner[slot] != _cur["si"]:
+            raise ValueError(
+                f"route {route.get('id')}: flow slot {slot} already owned by "
+                f"scenario #{flow_owner[slot]} — one flow-using scenario per "
+                f"slot per route (fixed-capacity WorldSpec)")
+        flow_owner[slot] = _cur["si"]
         f = resample_polyline(np.asarray(pts, np.float32), 1.0)
         fl = min(len(f), C.MAX_FLOW_POINTS)
         flow_xy[slot] = _pad(f, C.MAX_FLOW_POINTS)
@@ -434,7 +475,13 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         stretch where the offset really is a lane away from the route —
         oncoming traffic matters in the overtake window, which the scenarios
         place on straight road. ``lat`` < LANE_WIDTH makes the oncoming
-        traffic invade toward the ego lane (InvadingTurn)."""
+        traffic invade toward the ego lane (InvadingTurn).
+
+        One oncoming segment per route (slot-1 capacity): a second TwoWays
+        scenario keeps its obstruction + lane-allow window but shares the
+        first scenario's oncoming stream rather than overwriting it."""
+        if flow_owner[1] is not None and flow_owner[1] != _cur["si"]:
+            return
         i0, i1 = int(max(0, s_from)), int(min(n - 1, s_to))
         seg = xy[i0 : i1 + 1] + lat * _left(dirs[i0 : i1 + 1])
         dmin = np.linalg.norm(seg[:, None, :] - xy[None, :, :], axis=-1).min(axis=1)
@@ -458,256 +505,351 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         set_flow(1, seg[best_a:best_b][::-1], speed, gap)
 
     def add_static(i, pos, yaw, extent):
-        statics_pos[i], statics_yaw[i], statics_extent[i], statics_alive[i] = pos, yaw, extent, True
+        idx = _cur["sb"] + i
+        if idx >= C.N_SCENARIO_STATICS:
+            raise ValueError(
+                f"route {route.get('id')}: scenario statics overflow "
+                f"({idx} >= {C.N_SCENARIO_STATICS})")
+        statics_pos[idx], statics_yaw[idx], statics_extent[idx], statics_alive[idx] = pos, yaw, extent, True
+        _cur["stat"] = max(_cur["stat"], i + 1)
 
     def add_vehicle(i, pos, yaw, kind, extent, tspeed=0.0):
-        veh_pos[i], veh_yaw[i], veh_kind[i] = pos, yaw, kind
-        veh_extent[i], veh_alive[i], veh_tspeed[i] = extent, True, tspeed
+        idx = _cur["vb"] + i
+        if idx >= _SCRIPTED_SLOTS:
+            raise ValueError(
+                f"route {route.get('id')}: scripted vehicle slots overflow "
+                f"({idx} >= {_SCRIPTED_SLOTS})")
+        veh_pos[idx], veh_yaw[idx], veh_kind[idx] = pos, yaw, kind
+        veh_extent[idx], veh_alive[idx], veh_tspeed[idx] = extent, True, tspeed
+        _cur["veh"] = max(_cur["veh"], i + 1)
+
+    def add_walker(i, pos, vel, ttl):
+        idx = _cur["wb"] + i
+        if idx >= C.N_WALKERS:
+            raise ValueError(f"route {route.get('id')}: walker slots overflow")
+        walk_pos[idx], walk_vel[idx], walk_ttl[idx] = pos, vel, ttl
+        _cur["walk"] = max(_cur["walk"], i + 1)
 
     lw = C.LANE_WIDTH
 
-    twoways = name.endswith("TwoWays")
+    for si, scen in enumerate(scen_list):
+        _cur.update(si=si, veh=0, stat=0, walk=0)
+        name = str(scen["type"])
+        stype = SCENARIO_TYPES.get(name, 0)
+        trig_s = _project_s(xy, np.array(scen["trigger"][:2], np.float32)) if "trigger" in scen else 0.0
+        scen_aux = scen_aux_arr[si]  # view — writes land in the [K, 4] table
+        # scenarios whose junction carries no working traffic light
+        nonsignalized = ("NonSignalized" in name) or name in (
+            "OppositeVehicleTakingPriority", "VehicleTurningRoute",
+            "VehicleTurningRoutePedestrian", "T_Junction")
+        if nonsignalized:
+            nonsig_trigs.append(trig_s)
+        added_stop = False
+        if nonsignalized and "Stopsign" in name:
+            # VanillaNonSignalizedTurnEncounterStopsign: stop sign at the trigger
+            stop_s[n_stop] = trig_s
+            n_stop += 1
+            added_stop = True
 
-    if stype == 1:  # cut-in family: parked/waiting car pulls out ahead
-        # ParkingCutIn: fixed 35 m (parking_cut_in.py:41-44); StaticCutIn: at
-        # its 'distance' param; HighwayCutIn: merges from an explicit on-ramp
-        # location at highway speed (highway_cut_in.py semantics)
-        if name == "HighwayCutIn" and "other_actor_location" in scen:
-            loc = np.asarray(scen["other_actor_location"][:2], np.float32)
-            s_cut = _project_s(xy, loc)
-            cut_speed = 16.0
-        else:
-            s_cut = trig_s + float(scen.get("distance", 35.0))
-            cut_speed = 13.0
-        p, d = _point_at(xy, dirs, s_cut)
-        right = -_left(d)
-        add_vehicle(0, p + right * (lw * 0.8), math.atan2(d[1], d[0]), 0, CAR_EXTENT, cut_speed)
-        scen_pos = (p + right * (lw * 0.8)).astype(np.float32)
-        scen_aux[0] = s_cut
-        scen_aux[1] = cut_speed
+        twoways = name.endswith("TwoWays")
+        cross_s = -1.0
 
-    elif stype == 2:  # lane-obstacle family: props at distance; TwoWays
-        # variants add oncoming traffic into the overtake window
-        dist = float(scen.get("distance", 120.0))
-        s0 = trig_s + dist
-        if "Construction" in name:  # cone train (route_obstacles.py construction layout)
-            layout = [(0.0, (0.4, 0.4)), (4.0, (0.4, 0.4)), (8.0, (0.4, 0.4)),
-                      (12.0, (1.0, 0.6))]
-        elif "ParkedObstacle" in name:  # one parked vehicle
-            layout = [(0.0, CAR_EXTENT)]
-        else:  # Accident: crashed-car train at wp, +10, +16
-            layout = [(0.0, CAR_EXTENT), (10.0, CAR_EXTENT), (16.0, CAR_EXTENT)]
-        for k, (ds, ext) in enumerate(layout):
-            p, d = _point_at(xy, dirs, s0 + ds)
-            off = -_left(d) * (0.6 * lw / 2)
-            add_static(k, p + off, math.atan2(d[1], d[0]), ext)
-        if twoways:
-            freq = scen.get("frequency", (32.0, 110.0))
+        if stype == 1:  # cut-in family: parked/waiting car pulls out ahead
+            # ParkingCutIn: fixed 35 m (parking_cut_in.py:41-44); StaticCutIn: at
+            # its 'distance' param; HighwayCutIn: merges from an explicit on-ramp
+            # location at highway speed (highway_cut_in.py semantics)
+            if name == "HighwayCutIn" and "other_actor_location" in scen:
+                loc = np.asarray(scen["other_actor_location"][:2], np.float32)
+                s_cut = _project_s(xy, loc)
+                cut_speed = 16.0
+            else:
+                s_cut = trig_s + float(scen.get("distance", 35.0))
+                cut_speed = 13.0
+            p, d = _point_at(xy, dirs, s_cut)
+            right = -_left(d)
+            add_vehicle(0, p + right * (lw * 0.8), math.atan2(d[1], d[0]), 0, CAR_EXTENT, cut_speed)
+            scen_pos_arr[si] = (p + right * (lw * 0.8)).astype(np.float32)
+            scen_aux[0] = s_cut
+            scen_aux[1] = cut_speed
+
+        elif stype == 2:  # lane-obstacle family: props at distance; TwoWays
+            # variants add oncoming traffic into the overtake window
+            dist = float(scen.get("distance", 120.0))
+            s0 = trig_s + dist
+            if "Construction" in name:  # cone train (route_obstacles.py construction layout)
+                layout = [(0.0, (0.4, 0.4)), (4.0, (0.4, 0.4)), (8.0, (0.4, 0.4)),
+                          (12.0, (1.0, 0.6))]
+            elif "ParkedObstacle" in name:  # one parked vehicle
+                layout = [(0.0, CAR_EXTENT)]
+            else:  # Accident: crashed-car train at wp, +10, +16
+                layout = [(0.0, CAR_EXTENT), (10.0, CAR_EXTENT), (16.0, CAR_EXTENT)]
+            for k, (ds, ext) in enumerate(layout):
+                p, d = _point_at(xy, dirs, s0 + ds)
+                off = -_left(d) * (0.6 * lw / 2)
+                add_static(k, p + off, math.atan2(d[1], d[0]), ext)
+            if twoways:
+                freq = scen.get("frequency", (32.0, 110.0))
+                oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
+            scen_aux[0] = s0
+
+        elif stype == 3:  # blocker + crossing walker (DynamicObjectCrossing /
+            # ParkingCrossingPedestrian — there the blocker is a parked car)
+            dist = float(scen.get("distance", 12.0))
+            s0 = trig_s + dist
+            p, d = _point_at(xy, dirs, s0)
+            right = -_left(d)
+            blocker = p + right * (lw * 0.9)
+            blk_ext = CAR_EXTENT if "Parking" in name else (1.2, 1.2)
+            add_static(0, blocker, math.atan2(d[1], d[0]), blk_ext)
+            ang = math.radians(float(scen.get("crossing_angle", 0.0)))
+            cross_dir = _left(d)  # walks right -> left across the lane
+            ca, sa = math.cos(ang), math.sin(ang)
+            rot = np.array([[ca, -sa], [sa, ca]], np.float32)
+            v = rot @ cross_dir * 2.0  # 2 m/s (object_crash_vehicle.py:168)
+            add_walker(0, blocker + right * 1.0, v, (2.5 * lw) / 2.0)
+            scen_pos_arr[si] = blocker
+            scen_aux[0] = s0
+
+        elif stype == 4:  # junction crossing-flow family. CrossingBicycleFlow
+            # carries explicit flow endpoints; the junction-turn scenarios
+            # (Signalized/NonSignalizedJunction{Left,Right}Turn[EnterFlow]) leave
+            # the flow on the crossing road implicit — synthesize it through the
+            # junction the route turns at, perpendicular to the approach heading.
+            gap = scen.get("source_dist_interval", (20.0, 50.0))
+            if "start_actor_flow" in scen:
+                pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
+            else:
+                entries = [e for e in detect_junctions(xy, dirs) if e >= trig_s - 40.0]
+                j = entries[0] if entries else trig_s + 10.0
+                p_c, _ = _point_at(xy, dirs, j + 18.0)
+                d_in = dirs[int(np.clip(j - 5.0, 0, n - 1))]
+                perp = _left(d_in)
+                if "Right" in name:
+                    perp = -perp
+                pts = [p_c + perp * 45.0, p_c - perp * 45.0]
+            kind = 1 if "Bicycle" in name else 0
+            set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=kind)
+            # crossing arclength on the ego route (nearest route point to the
+            # flow polyline): the junction wait clock (scenarios._junction_wait)
+            # and the expert's hold-line logic anchor on it
+            fpoly = resample_polyline(np.asarray(pts, np.float32), 1.0)
+            d_rf = np.linalg.norm(xy[:, None, :] - fpoly[None, :, :], axis=-1).min(axis=1)
+            scen_aux[0] = float(np.argmin(d_rf))
+
+        elif stype == 5:  # VehicleOpensDoorTwoWays
+            dist = float(scen.get("distance", 50.0))
+            s0 = trig_s + dist
+            p, d = _point_at(xy, dirs, s0)
+            right = -_left(d)
+            car = p + right * (lw * 0.55)
+            add_static(0, car, math.atan2(d[1], d[0]), CAR_EXTENT)
+            # opened door pokes into the ego lane
+            add_static(1, car + _left(d) * 1.4 + d * 1.0, math.atan2(d[1], d[0]), (0.7, 0.25))
+            freq = scen.get("frequency", (36.0, 90.0))
             oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
-        scen_aux[0] = s0
+            scen_aux[0] = s0
 
-    elif stype == 3:  # blocker + crossing walker (DynamicObjectCrossing /
-        # ParkingCrossingPedestrian — there the blocker is a parked car)
-        dist = float(scen.get("distance", 12.0))
-        s0 = trig_s + dist
-        p, d = _point_at(xy, dirs, s0)
-        right = -_left(d)
-        blocker = p + right * (lw * 0.9)
-        blk_ext = CAR_EXTENT if "Parking" in name else (1.2, 1.2)
-        add_static(0, blocker, math.atan2(d[1], d[0]), blk_ext)
-        ang = math.radians(float(scen.get("crossing_angle", 0.0)))
-        cross_dir = _left(d)  # walks right -> left across the lane
-        ca, sa = math.cos(ang), math.sin(ang)
-        rot = np.array([[ca, -sa], [sa, ca]], np.float32)
-        v = rot @ cross_dir * 2.0  # 2 m/s (object_crash_vehicle.py:168)
-        walk_pos[0] = blocker + right * 1.0
-        walk_vel[0] = v
-        walk_ttl[0] = (2.5 * lw) / 2.0
-        walk_count = 1
-        scen_pos = blocker
-        scen_aux[0] = s0
+        elif stype == 6:  # PedestrianCrossing: 3 walkers over a crosswalk ahead
+            s0 = trig_s + 12.0
+            p, d = _point_at(xy, dirs, s0)
+            right = -_left(d)
+            for k in range(3):
+                start = p + right * (lw * 0.9) + d * (1.0 * k)
+                add_walker(k, start, _left(d) * (1.3 + 0.35 * k),  # 1.3-2.0 m/s spread
+                           (2.3 * lw) / float(1.3 + 0.35 * k))
+            scen_pos_arr[si] = p
+            scen_aux[0] = s0
 
-    elif stype == 4:  # junction crossing-flow family. CrossingBicycleFlow
-        # carries explicit flow endpoints; the junction-turn scenarios
-        # (Signalized/NonSignalizedJunction{Left,Right}Turn[EnterFlow]) leave
-        # the flow on the crossing road implicit — synthesize it through the
-        # junction the route turns at, perpendicular to the approach heading.
-        gap = scen.get("source_dist_interval", (20.0, 50.0))
-        if "start_actor_flow" in scen:
+        elif stype == 7:  # MergerIntoSlowTrafficV2
             pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
-        else:
-            entries = [e for e in detect_junctions(xy, dirs) if e >= trig_s - 40.0]
-            j = entries[0] if entries else trig_s + 10.0
-            p_c, _ = _point_at(xy, dirs, j + 18.0)
-            d_in = dirs[int(np.clip(j - 5.0, 0, n - 1))]
+            gap = scen.get("source_dist_interval", (20.0, 50.0))
+            set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=0)
+
+        elif stype == 8:  # BlockedIntersection: blocker 5 m past trigger
+            s0 = trig_s + 5.0
+            p, d = _point_at(xy, dirs, s0)
+            add_vehicle(0, p, math.atan2(d[1], d[0]), 0, CAR_EXTENT, 8.0)
+            scen_pos_arr[si] = p.astype(np.float32)
+            scen_aux[0] = s0
+            scen_aux[1] = 13.0  # trigger distance (blocked_intersection.py:64)
+
+        elif stype == 9:  # HazardAtSideLane[TwoWays]: two bicycles at lane edge
+            dist = float(scen.get("distance", 100.0))
+            bspeed = float(scen.get("bicycle_speed", 8.0))
+            bdist = float(scen.get("bicycle_drive_distance", 100.0))
+            freq = float(scen.get("frequency", 75.0)) if not isinstance(scen.get("frequency"), tuple) else 75.0
+            s0 = trig_s + dist
+            for k in range(2):
+                p, d = _point_at(xy, dirs, s0 + 8.0 * k)
+                off = -_left(d) * (0.55 * lw / 2)
+                add_vehicle(k, p + off, math.atan2(d[1], d[0]), 1, BIKE_EXTENT, bspeed)
+            if twoways:
+                oncoming_flow(trig_s - 10, min(n - 2, s0 + bdist + 30), speed=7.0, gap=(freq / 2, freq))
+            scen_aux[0] = s0
+            scen_aux[1] = bdist
+
+        elif stype == 10:  # junction adversary: a vehicle crosses/turns through
+            # the ego's junction path (OppositeVehicleRunningRedLight /
+            # OppositeVehicleTakingPriority / VehicleTurningRoute[Pedestrian]).
+            # The crossing line rides flow slot 0 but spawning is one-shot,
+            # scenario-triggered (flow_enabled stays False).
+            entries = [e for e in detect_junctions(xy, dirs) if e >= trig_s - 30.0]
+            conflict_s = (entries[0] + 15.0) if entries else trig_s + 20.0
+            conflict_s = min(conflict_s, n - 5.0)
+            p_c, _ = _point_at(xy, dirs, conflict_s)
+            d_in = dirs[int(np.clip(conflict_s - 15.0, 0, n - 1))]
             perp = _left(d_in)
-            if "Right" in name:
+            if str(scen.get("direction", "left")) == "right":
                 perp = -perp
-            pts = [p_c + perp * 45.0, p_c - perp * 45.0]
-        kind = 1 if "Bicycle" in name else 0
-        set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=kind)
-        # crossing arclength on the ego route (nearest route point to the
-        # flow polyline): the junction wait clock (scenarios._junction_wait)
-        # and the expert's hold-line logic anchor on it
-        fpoly = resample_polyline(np.asarray(pts, np.float32), 1.0)
-        d_rf = np.linalg.norm(xy[:, None, :] - fpoly[None, :, :], axis=-1).min(axis=1)
-        scen_aux[0] = float(np.argmin(d_rf))
+            adv_speed = 10.0 if "RunningRedLight" in name else 8.0
+            set_flow(0, [p_c + perp * 40.0, p_c - perp * 40.0], adv_speed,
+                     (1e6, 1e6), kind=0)
+            flow_enabled[0] = False  # one-shot spawn by the phase machine
+            start = p_c + perp * 40.0
+            dyaw = math.atan2(-perp[1], -perp[0])
+            add_vehicle(0, start, dyaw, 0, CAR_EXTENT, 0.0)
+            if "Pedestrian" in name:
+                add_walker(0, p_c + perp * (lw * 1.2), -perp * 1.6, (2.4 * lw) / 1.6)
+            if "RunningRedLight" in name and conflict_s > 14.0:
+                # signalized junction; the ego faces a working (green) light while
+                # the adversary runs the red from the crossing road
+                tl_stop_s[n_tl] = conflict_s - 8.0
+                tl_green[n_tl] = 1e6
+                tl_yellow[n_tl] = 0.0
+                tl_red[n_tl] = 0.0
+                n_tl += 1
+            scen_pos_arr[si] = p_c.astype(np.float32)
+            scen_aux[0] = conflict_s
+            scen_aux[1] = adv_speed
 
-    elif stype == 5:  # VehicleOpensDoorTwoWays
-        dist = float(scen.get("distance", 50.0))
-        s0 = trig_s + dist
-        p, d = _point_at(xy, dirs, s0)
-        right = -_left(d)
-        car = p + right * (lw * 0.55)
-        add_static(0, car, math.atan2(d[1], d[0]), CAR_EXTENT)
-        # opened door pokes into the ego lane
-        add_static(1, car + _left(d) * 1.4 + d * 1.0, math.atan2(d[1], d[0]), (0.7, 0.25))
-        freq = scen.get("frequency", (36.0, 90.0))
-        oncoming_flow(trig_s - 10, min(n - 2, s0 + 60), speed=7.0, gap=tuple(freq))
-        scen_aux[0] = s0
+        elif stype == 11:  # YieldToEmergencyVehicle: EV approaches from behind
+            scen_aux[0] = trig_s
+            scen_aux[1] = float(scen.get("distance", 30.0))  # spawn gap behind ego
+            scen_aux[2] = 14.0  # EV speed
 
-    elif stype == 6:  # PedestrianCrossing: 3 walkers over a crosswalk ahead
-        s0 = trig_s + 12.0
-        p, d = _point_at(xy, dirs, s0)
-        right = -_left(d)
-        for k in range(3):
-            start = p + right * (lw * 0.9) + d * (1.0 * k)
-            walk_pos[k] = start
-            walk_vel[k] = _left(d) * (1.3 + 0.35 * k)  # 1.3-2.0 m/s spread
-            walk_ttl[k] = (2.3 * lw) / float(1.3 + 0.35 * k)
-        walk_count = 3
-        scen_pos = p
-        scen_aux[0] = s0
+        elif stype == 12:  # HardBreakRoute: lead brakes hard in front of the ego
+            scen_aux[0] = trig_s
 
-    elif stype == 7:  # MergerIntoSlowTrafficV2
-        pts = [scen["start_actor_flow"], scen["end_actor_flow"]]
-        gap = scen.get("source_dist_interval", (20.0, 50.0))
-        set_flow(0, pts, float(scen.get("flow_speed", 10.0)), gap, kind=0)
+        elif stype == 13:  # ControlLoss: transient steering perturbation
+            scen_aux[0] = trig_s
 
-    elif stype == 8:  # BlockedIntersection: blocker 5 m past trigger
-        s0 = trig_s + 5.0
-        p, d = _point_at(xy, dirs, s0)
-        add_vehicle(0, p, math.atan2(d[1], d[0]), 0, CAR_EXTENT, 8.0)
-        scen_pos = p.astype(np.float32)
-        scen_aux[0] = s0
-        scen_aux[1] = 13.0  # trigger distance (blocked_intersection.py:64)
+        if name == "ParkingExit":
+            # ego starts in a parking slot beside the lane, hemmed in by parked
+            # vehicles 'front/behind_vehicle_distance' away (parking_exit.py)
+            right0 = -_left(dirs[0])
+            fwd0 = dirs[0]
+            slot = xy[0] + right0 * (lw * 0.8)
+            fdist = float(scen.get("front_vehicle_distance", 9.0))
+            bdist_p = float(scen.get("behind_vehicle_distance", 9.0))
+            yaw0 = math.atan2(dirs[0][1], dirs[0][0])
+            add_static(0, slot + fwd0 * fdist, yaw0, CAR_EXTENT)
+            add_static(1, slot - fwd0 * bdist_p, yaw0, CAR_EXTENT)
+            spawn_override = slot.astype(np.float32)
+            scen_aux[3] = 1.0  # ParkingExit marker (expert suppresses the
+            # parked-row hazard while pulling out)
 
-    elif stype == 9:  # HazardAtSideLane[TwoWays]: two bicycles at lane edge
-        dist = float(scen.get("distance", 100.0))
-        bspeed = float(scen.get("bicycle_speed", 8.0))
-        bdist = float(scen.get("bicycle_drive_distance", 100.0))
-        freq = float(scen.get("frequency", 75.0)) if not isinstance(scen.get("frequency"), tuple) else 75.0
-        s0 = trig_s + dist
-        for k in range(2):
-            p, d = _point_at(xy, dirs, s0 + 8.0 * k)
-            off = -_left(d) * (0.55 * lw / 2)
-            add_vehicle(k, p + off, math.atan2(d[1], d[0]), 1, BIKE_EXTENT, bspeed)
-        if twoways:
-            oncoming_flow(trig_s - 10, min(n - 2, s0 + bdist + 30), speed=7.0, gap=(freq / 2, freq))
-        scen_aux[0] = s0
-        scen_aux[1] = bdist
+        if name == "InvadingTurn":
+            # oncoming traffic cuts the corner, invading toward the ego lane by
+            # 'offset' lane-fractions over the turn (invading_turn.py)
+            dist = float(scen.get("distance", 60.0))
+            invade = float(scen.get("offset", 0.25))
+            oncoming_flow(trig_s - 5, min(n - 2, trig_s + dist + 30), speed=7.0,
+                          gap=(30.0, 60.0), lat=(1.0 - invade) * lw)
 
-    elif stype == 10:  # junction adversary: a vehicle crosses/turns through
-        # the ego's junction path (OppositeVehicleRunningRedLight /
-        # OppositeVehicleTakingPriority / VehicleTurningRoute[Pedestrian]).
-        # The crossing line rides flow slot 0 but spawning is one-shot,
-        # scenario-triggered (flow_enabled stays False).
-        entries = [e for e in detect_junctions(xy, dirs) if e >= trig_s - 30.0]
-        conflict_s = (entries[0] + 15.0) if entries else trig_s + 20.0
-        conflict_s = min(conflict_s, n - 5.0)
-        p_c, _ = _point_at(xy, dirs, conflict_s)
-        d_in = dirs[int(np.clip(conflict_s - 15.0, 0, n - 1))]
-        perp = _left(d_in)
-        if str(scen.get("direction", "left")) == "right":
-            perp = -perp
-        adv_speed = 10.0 if "RunningRedLight" in name else 8.0
-        set_flow(0, [p_c + perp * 40.0, p_c - perp * 40.0], adv_speed,
-                 (1e6, 1e6), kind=0)
-        flow_enabled[0] = False  # one-shot spawn by the phase machine
-        start = p_c + perp * 40.0
-        dyaw = math.atan2(-perp[1], -perp[0])
-        add_vehicle(0, start, dyaw, 0, CAR_EXTENT, 0.0)
-        if "Pedestrian" in name:
-            walk_pos[0] = p_c + perp * (lw * 1.2)
-            walk_vel[0] = -perp * 1.6
-            walk_ttl[0] = (2.4 * lw) / 1.6
-            walk_count = 1
-        if "RunningRedLight" in name and conflict_s > 14.0:
-            # signalized junction; the ego faces a working (green) light while
-            # the adversary runs the red from the crossing road
-            tl_stop_s[n_tl] = conflict_s - 8.0
-            tl_green[n_tl] = 1e6
-            tl_yellow[n_tl] = 0.0
-            tl_red[n_tl] = 0.0
-            n_tl += 1
-        scen_pos = p_c.astype(np.float32)
-        scen_aux[0] = conflict_s
-        scen_aux[1] = adv_speed
+        # VanillaSignalizedTurnEncounter{Red,Green}Light promises a light
+        # state at arrival — phased after the global junction fill below
+        if "EncounterRedLight" in name or "EncounterGreenLight" in name:
+            encounter_reqs.append((name, trig_s))
 
-    elif stype == 11:  # YieldToEmergencyVehicle: EV approaches from behind
-        scen_aux[0] = trig_s
-        scen_aux[1] = float(scen.get("distance", 30.0))  # spawn gap behind ego
-        scen_aux[2] = 14.0  # EV speed
+        if stype == 4:
+            # CrossingBicycleFlow: signalized junction at the flow crossing; ego
+            # light red for green_light_delay=5 s, then frozen green
+            # (cross_bicycle_flow.py:82,167-172)
+            fl = flow_xy[0][: max(int(flow_len[0]), 2)]
+            d2 = np.linalg.norm(xy[:, None, :] - fl[None, :, :], axis=-1).min(axis=1)
+            cross_s = float(np.argmin(d2))
+            if d2.min() < 6.0 and cross_s > 8.0 and not nonsignalized:
+                tl_stop_s[n_tl] = cross_s - 6.0
+                tl_green[n_tl] = 1e6
+                tl_yellow[n_tl] = 0.0
+                tl_red[n_tl] = 5.0
+                tl_offset[n_tl] = 1e6  # t=0 lands in the red window
+                n_tl += 1
 
-    elif stype == 12:  # HardBreakRoute: lead brakes hard in front of the ego
-        scen_aux[0] = trig_s
+        # ---- ambient keep-clear windows (background_manager.py analogues):
+        # same-direction traffic stays out of the scenario's working zone
+        # (LeaveSpaceInFront / clear_ego_entry); the opposite lane is ceded to
+        # the scenario's oncoming flow on TwoWays routes (RemoveRoadLane).
+        # One [lo, hi) window per scenario slot; consumers OR over slots.
+        s0 = float(scen_aux[0])
+        if stype in (2, 5):  # Accident / VehicleOpensDoor TwoWays
+            amb_clear[si] = (trig_s - 5.0, s0 + 25.0)
+            amb_opp_clear[si] = (trig_s - 15.0, s0 + 70.0)
+            lane_allow[si] = (trig_s - 15.0, s0 + 30.0)
+        elif stype == 9:  # HazardAtSideLaneTwoWays
+            bdist = float(scen_aux[1])
+            amb_clear[si] = (trig_s - 5.0, s0 + bdist + 10.0)
+            amb_opp_clear[si] = (trig_s - 15.0, s0 + bdist + 40.0)
+            lane_allow[si] = (trig_s - 15.0, s0 + bdist + 20.0)
+        elif stype == 1:  # ParkingCutIn: room for the pull-out
+            amb_clear[si] = (trig_s - 5.0, s0 + 35.0)
+        elif stype in (3, 6):  # walker crossings: keep the crossing open
+            amb_clear[si] = (s0 - 20.0, s0 + 15.0)
+        elif stype == 4 and cross_s > 0:  # junction clear (HandleJunctionScenario)
+            amb_clear[si] = (cross_s - 30.0, cross_s + 30.0)
+            amb_opp_clear[si] = (cross_s - 30.0, cross_s + 30.0)
+        elif stype == 7:  # merger: the slow flow owns the merge section
+            amb_clear[si] = (trig_s - 5.0, trig_s + 70.0)
+        elif stype == 8:  # blocked intersection
+            amb_clear[si] = (trig_s - 5.0, s0 + 35.0)
+            amb_opp_clear[si] = (trig_s - 5.0, s0 + 35.0)
+        elif stype == 10:  # junction adversary owns the junction
+            amb_clear[si] = (s0 - 35.0, s0 + 35.0)
+            amb_opp_clear[si] = (s0 - 35.0, s0 + 35.0)
+        elif stype == 11:  # the emergency vehicle needs a free lane behind the ego
+            amb_clear[si] = (max(0.0, trig_s - 60.0), trig_s + 150.0)
+        elif stype == 12:  # the braking lead owns the stretch past the trigger
+            amb_clear[si] = (trig_s - 25.0, trig_s + 70.0)
+        if name == "InvadingTurn":  # invading oncoming flow owns the opposite lane
+            amb_opp_clear[si] = (trig_s - 15.0, trig_s + float(scen.get("distance", 60.0)) + 40.0)
+        if name == "ParkingExit":  # pulling out of the slot crosses the lane edge
+            lane_allow[si] = (0.0, 25.0)
+            amb_clear[si] = (0.0, 40.0)
+        if added_stop:  # stop-sign junction: keep it open in both directions
+            amb_clear[si] = (trig_s - 15.0, trig_s + 25.0)
+            amb_opp_clear[si] = (trig_s - 15.0, trig_s + 25.0)
 
-    elif stype == 13:  # ControlLoss: transient steering perturbation
-        scen_aux[0] = trig_s
+        # EV / hard-brake machines spawn their vehicle at runtime — reserve
+        # one scripted slot for them even though nothing is placed at build
+        if stype in (11, 12):
+            _cur["veh"] = max(_cur["veh"], 1)
 
-    if name == "ParkingExit":
-        # ego starts in a parking slot beside the lane, hemmed in by parked
-        # vehicles 'front/behind_vehicle_distance' away (parking_exit.py)
-        right0 = -_left(dirs[0])
-        fwd0 = dirs[0]
-        slot = xy[0] + right0 * (lw * 0.8)
-        fdist = float(scen.get("front_vehicle_distance", 9.0))
-        bdist_p = float(scen.get("behind_vehicle_distance", 9.0))
-        yaw0 = math.atan2(dirs[0][1], dirs[0][0])
-        add_static(0, slot + fwd0 * fdist, yaw0, CAR_EXTENT)
-        add_static(1, slot - fwd0 * bdist_p, yaw0, CAR_EXTENT)
-        spawn_override = slot.astype(np.float32)
-        scen_aux[3] = 1.0  # ParkingExit marker (expert suppresses the
-        # parked-row hazard while pulling out)
-    else:
-        spawn_override = None
+        stypes[si] = stype
+        trig_ss[si] = trig_s
+        scen_veh_base[si] = _cur["vb"]
+        scen_walk_base[si] = _cur["wb"]
+        scen_walk_n[si] = _cur["walk"]
+        _cur["vb"] += _cur["veh"]
+        _cur["sb"] += _cur["stat"]
+        _cur["wb"] += _cur["walk"]
 
-    if name == "InvadingTurn":
-        # oncoming traffic cuts the corner, invading toward the ego lane by
-        # 'offset' lane-fractions over the turn (invading_turn.py)
-        dist = float(scen.get("distance", 60.0))
-        invade = float(scen.get("offset", 0.25))
-        oncoming_flow(trig_s - 5, min(n - 2, trig_s + dist + 30), speed=7.0,
-                      gap=(30.0, 60.0), lat=(1.0 - invade) * lw)
+    walk_count = _cur["wb"]
 
     sel = select_parked_near_route(parked, xy, dirs, C.N_STATICS - C.N_SCENARIO_STATICS)
     for k, (px, py, pyaw) in enumerate(sel):
-        add_static(C.N_SCENARIO_STATICS + k, (px, py), pyaw, CAR_EXTENT)
+        i = C.N_SCENARIO_STATICS + k
+        statics_pos[i], statics_yaw[i] = (px, py), pyaw
+        statics_extent[i], statics_alive[i] = CAR_EXTENT, True
 
     # ---- traffic signals (RunningRedLightTest / RunningStopTest parity,
     # atomic_criteria.py:1620,1799 — the reference checks every signal the
     # ego encounters, not just scenario-owned ones)
-    cross_s = -1.0
-    if stype == 4:
-        # CrossingBicycleFlow: signalized junction at the flow crossing; ego
-        # light red for green_light_delay=5 s, then frozen green
-        # (cross_bicycle_flow.py:82,167-172)
-        fl = flow_xy[0][: max(int(flow_len[0]), 2)]
-        d2 = np.linalg.norm(xy[:, None, :] - fl[None, :, :], axis=-1).min(axis=1)
-        cross_s = float(np.argmin(d2))
-        if d2.min() < 6.0 and cross_s > 8.0 and not nonsignalized:
-            tl_stop_s[n_tl] = cross_s - 6.0
-            tl_green[n_tl] = 1e6
-            tl_yellow[n_tl] = 0.0
-            tl_red[n_tl] = 5.0
-            tl_offset[n_tl] = 1e6  # t=0 lands in the red window
-            n_tl += 1
     rng_tl = np.random.default_rng(int(route["id"]))
     for entry in detect_junctions(xy, dirs):
         if n_tl >= N_TRAFFIC_LIGHTS:
             break
-        if nonsignalized and abs(entry - trig_s) < 60.0:
-            continue  # the scenario says this junction has no lights
+        if any(abs(entry - t) < 60.0 for t in nonsig_trigs):
+            continue  # a scenario says this junction has no lights
         if any(abs(entry - tl_stop_s[k]) < 30.0 for k in range(n_tl)):
             continue
         if n_stop and any(abs(entry - s) < 30.0 for s in stop_s[:n_stop]):
@@ -721,67 +863,22 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     # specific light state when the ego reaches its junction — phase the
     # nearest light to be red (resp. green) at the estimated arrival time
     # (ambient cruise ~6 m/s).
-    if "EncounterRedLight" in name or "EncounterGreenLight" in name:
+    for enc_name, enc_trig in encounter_reqs:
         cycle = C.TL_GREEN_S + C.TL_YELLOW_S + C.TL_RED_S
-        cand = [k for k in range(n_tl) if abs(tl_stop_s[k] - trig_s) < 80.0]
+        cand = [k for k in range(n_tl) if abs(tl_stop_s[k] - enc_trig) < 80.0]
         if not cand and n_tl < N_TRAFFIC_LIGHTS:
-            tl_stop_s[n_tl] = max(trig_s, 10.0)
+            tl_stop_s[n_tl] = max(enc_trig, 10.0)
             cand = [n_tl]
             n_tl += 1
         if cand:
-            k = min(cand, key=lambda k: abs(tl_stop_s[k] - trig_s))
+            k = min(cand, key=lambda k: abs(tl_stop_s[k] - enc_trig))
             arrival = float(tl_stop_s[k]) / 6.0
-            if "RedLight" in name:
+            if "RedLight" in enc_name:
                 # phase time at arrival lands mid-red
                 target = C.TL_GREEN_S + C.TL_YELLOW_S + 0.4 * C.TL_RED_S
             else:
                 target = 0.3 * C.TL_GREEN_S
             tl_offset[k] = (target - arrival) % cycle
-
-    # ---- ambient keep-clear windows (background_manager.py analogues):
-    # same-direction traffic stays out of the scenario's working zone
-    # (LeaveSpaceInFront / clear_ego_entry); the opposite lane is ceded to
-    # the scenario's oncoming flow on TwoWays routes (RemoveRoadLane).
-    s0 = float(scen_aux[0])
-    amb_clear = np.zeros(2, np.float32)
-    amb_opp_clear = np.zeros(2, np.float32)
-    lane_allow = np.zeros(2, np.float32)
-    if stype in (2, 5):  # Accident / VehicleOpensDoor TwoWays
-        amb_clear[:] = (trig_s - 5.0, s0 + 25.0)
-        amb_opp_clear[:] = (trig_s - 15.0, s0 + 70.0)
-        lane_allow[:] = (trig_s - 15.0, s0 + 30.0)
-    elif stype == 9:  # HazardAtSideLaneTwoWays
-        bdist = float(scen_aux[1])
-        amb_clear[:] = (trig_s - 5.0, s0 + bdist + 10.0)
-        amb_opp_clear[:] = (trig_s - 15.0, s0 + bdist + 40.0)
-        lane_allow[:] = (trig_s - 15.0, s0 + bdist + 20.0)
-    elif stype == 1:  # ParkingCutIn: room for the pull-out
-        amb_clear[:] = (trig_s - 5.0, s0 + 35.0)
-    elif stype in (3, 6):  # walker crossings: keep the crossing open
-        amb_clear[:] = (s0 - 20.0, s0 + 15.0)
-    elif stype == 4 and cross_s > 0:  # junction clear (HandleJunctionScenario)
-        amb_clear[:] = (cross_s - 30.0, cross_s + 30.0)
-        amb_opp_clear[:] = (cross_s - 30.0, cross_s + 30.0)
-    elif stype == 7:  # merger: the slow flow owns the merge section
-        amb_clear[:] = (trig_s - 5.0, trig_s + 70.0)
-    elif stype == 8:  # blocked intersection
-        amb_clear[:] = (trig_s - 5.0, s0 + 35.0)
-        amb_opp_clear[:] = (trig_s - 5.0, s0 + 35.0)
-    elif stype == 10:  # junction adversary owns the junction
-        amb_clear[:] = (s0 - 35.0, s0 + 35.0)
-        amb_opp_clear[:] = (s0 - 35.0, s0 + 35.0)
-    elif stype == 11:  # the emergency vehicle needs a free lane behind the ego
-        amb_clear[:] = (max(0.0, trig_s - 60.0), trig_s + 150.0)
-    elif stype == 12:  # the braking lead owns the stretch past the trigger
-        amb_clear[:] = (trig_s - 25.0, trig_s + 70.0)
-    if name == "InvadingTurn":  # invading oncoming flow owns the opposite lane
-        amb_opp_clear[:] = (trig_s - 15.0, trig_s + float(scen.get("distance", 60.0)) + 40.0)
-    if name == "ParkingExit":  # pulling out of the slot crosses the lane edge
-        lane_allow[:] = (0.0, 25.0)
-        amb_clear[:] = (0.0, 40.0)
-    if n_stop:  # stop-sign junction: keep it open in both directions
-        amb_clear[:] = (trig_s - 15.0, trig_s + 25.0)
-        amb_opp_clear[:] = (trig_s - 15.0, trig_s + 25.0)
 
     # ---- weather keyframes: pad/clamp to the fixed-slot table; a route
     # without <weathers> gets one clear-noon row (the legacy default)
@@ -806,8 +903,8 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         route_len=np.float32(n - 1),
         spawn_pos=spawn_override if spawn_override is not None else xy[0],
         spawn_yaw=np.float32(math.atan2(dirs[0][1], dirs[0][0])),
-        scenario_type=np.int32(stype),
-        trigger_s=np.float32(trig_s),
+        scenario_type=stypes,
+        trigger_s=trig_ss,
         flow_xy=flow_xy,
         flow_dir=flow_dir,
         flow_len=flow_len,
@@ -830,8 +927,11 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         walk_vel=walk_vel,
         walk_ttl=walk_ttl,
         walk_count=np.int32(walk_count),
-        scen_pos=np.asarray(scen_pos, np.float32),
-        scen_aux=scen_aux,
+        scen_pos=scen_pos_arr,
+        scen_aux=scen_aux_arr,
+        scen_veh_base=scen_veh_base,
+        scen_walk_base=scen_walk_base,
+        scen_walk_n=scen_walk_n,
         route_id=np.int32(route["id"]),
         weather=np.asarray(route["weather"], np.float32),
         tl_stop_s=tl_stop_s,
@@ -872,6 +972,10 @@ def load_benchmark_specs(xml_path: str, route_ids: list[int],
         parked_tables_path = cand if os.path.exists(cand) else None
     if parked_tables_path:
         tables = load_parked_tables(parked_tables_path)
+    # pad every route to the batch's max scenario count so the specs stack
+    # (bench2drive220 routes all carry exactly one -> K=1, same program)
+    k = max(1, max(len(routes[r]["scenarios"] or []) for r in route_ids))
     return stack_specs(
-        [build_world_spec(routes[r], parked=tables.get(routes[r]["town"])) for r in route_ids]
+        [build_world_spec(routes[r], parked=tables.get(routes[r]["town"]), n_scen=k)
+         for r in route_ids]
     )

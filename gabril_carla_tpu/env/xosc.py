@@ -133,9 +133,21 @@ def _weather(root: ET.Element, params) -> list[float]:
     return out
 
 
-def _adversary_event(root: ET.Element, params) -> tuple[float | None, float]:
-    """First triggered SpeedAction -> (trigger_distance_m | None, target_speed)."""
-    for event in root.iter("Event"):
+def _adversary_event(root: ET.Element, params,
+                     entity: str | None = None) -> tuple[float | None, float]:
+    """First triggered SpeedAction -> (trigger_distance_m | None, target_speed).
+
+    With ``entity`` given, the search is scoped to the ManeuverGroups whose
+    Actors reference that entity (per-adversary events on multi-adversary
+    storyboards); falls back to the whole document when the entity has no
+    scoped group.
+    """
+    roots: list[ET.Element] = []
+    if entity is not None:
+        for g in root.iter("ManeuverGroup"):
+            if any(r.get("entityRef") == entity for r in g.iter("EntityRef")):
+                roots.append(g)
+    for event in (e for r in (roots or [root]) for e in r.iter("Event")):
         speed = event.find(".//SpeedAction/SpeedActionTarget/AbsoluteTargetSpeed")
         if speed is None:
             continue
@@ -192,12 +204,13 @@ def load_xosc(path: str | Path, route_len: float = 150.0) -> dict:
         for s in np.arange(0.0, route_len, 2.0)
     ])
 
-    # Adversary -> scenario record on the synthesized route
+    # Adversaries -> one scenario record each on the synthesized route
+    # (WorldSpec carries K scenario slots; pool overflows fail loudly at
+    # build time, which is the designed capacity contract)
     scenarios = []
     adversaries = [(n, e) for n, e in placed.items() if n != "hero"]
-    if adversaries:
-        name, adv = adversaries[0]
-        trig_dist, speed = _adversary_event(root, params)
+    for name, adv in adversaries:
+        trig_dist, speed = _adversary_event(root, params, entity=name)
         s_adv = float(np.clip(fwd @ (np.array([adv["x"], adv["y"]]) - [hx, hy]),
                               5.0, route_len - 10.0))
         arm = 12.0 if trig_dist is None else trig_dist

@@ -88,7 +88,7 @@ def test_ambient_respects_clear_window():
     """Scenario keep-clear windows (LeaveSpaceInFront analogue) stay empty."""
     spec = straight(300, scenario="AccidentTwoWays",
                     extra={"distance": 60.0, "frequency": (40.0, 70.0)})
-    lo, hi = float(spec.amb_clear[0]), float(spec.amb_clear[1])
+    lo, hi = float(spec.amb_clear[0, 0]), float(spec.amb_clear[0, 1])
     assert hi > lo
     env = DrivingEnv()
     st = env.reset(spec, jax.random.PRNGKey(1))

@@ -72,7 +72,7 @@ def test_blocked_intersection_scenario_triggers():
     state = rollout(spec, FULL_THROTTLE, steps=500)
     # ego driving full throttle into the blocker either collides or the
     # blocker eventually drives away; scenario must have activated
-    assert int(state.scenario.phase) >= 1
+    assert int(state.scenario.phase[0]) >= 1
 
 
 def test_vmapped_mixed_scenarios():

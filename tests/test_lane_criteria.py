@@ -61,7 +61,7 @@ def test_oncoming_lane_is_wrong_lane():
 
 def test_lane_allow_window_suppresses_wrong_lane_but_not_off_road():
     spec = make_spec()
-    spec = dataclasses.replace(spec, lane_allow=jnp.asarray([10.0, 60.0]))
+    spec = dataclasses.replace(spec, lane_allow=jnp.asarray([[10.0, 60.0]]))
     # legitimate TwoWays overtake in the oncoming lane
     assert accrued(spec, state_at(spec, 30.0, -3.5)) == 0.0
     # but past the FAR road edge (beyond 1.5w + 0.5 left) still accrues

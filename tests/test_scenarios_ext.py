@@ -103,7 +103,7 @@ def test_junction_turn_flow_synthesized():
                           "source_dist_interval": (15.0, 25.0)})
     # non-signalized: no light within the scenario's junction window
     tls = np.asarray(nos.tl_stop_s)[: int(nos.n_tl)]
-    assert not np.any(np.abs(tls - float(nos.trigger_s)) < 60.0)
+    assert not np.any(np.abs(tls - float(nos.trigger_s[0])) < 60.0)
 
 
 def test_vanilla_red_light_phased_at_arrival():
@@ -113,7 +113,7 @@ def test_vanilla_red_light_phased_at_arrival():
                            "trigger": (90.0, 0.0, 0.0)})
     assert int(spec.n_tl) >= 1
     k = int(np.argmin(np.abs(np.asarray(spec.tl_stop_s)[: int(spec.n_tl)]
-                             - float(spec.trigger_s))))
+                             - float(spec.trigger_s[0]))))
     arrival = float(np.asarray(spec.tl_stop_s)[k]) / 6.0
     col = light_state(jnp.asarray(arrival), spec.tl_offset, spec.tl_green_s,
                       spec.tl_yellow_s, spec.tl_red_s)
@@ -126,7 +126,7 @@ def test_yield_emergency_blocking_fails():
                               "trigger": (6.0, 0.0, 0.0), "distance": 25.0})
     st = drive(spec, [0.25, 0, 0, 0, 0, 0, 0], steps=900)  # slow crawl
     assert bool(np.asarray(st.vehicles.alive)[0])  # EV spawned
-    assert float(np.asarray(st.scenario.aux)) > 8.0  # held up
+    assert float(np.asarray(st.scenario.aux)[0]) > 8.0  # held up
     sc = compute_score(spec, st)
     assert bool(np.asarray(sc["yield_emergency"]))
     assert float(sc["score_penalty"]) <= 0.71
@@ -143,7 +143,7 @@ def test_yield_emergency_expert_yields():
 def test_hard_brake_lead_spawns_and_brakes():
     spec = mk(straight(400), {"type": "HardBreakRoute", "trigger": (50.0, 0.0, 0.0)})
     st = drive(spec, [0.6, 0, 0, 0, 0, 0, 0], steps=600)
-    assert int(np.asarray(st.scenario.phase)) >= 2  # brake phase reached
+    assert int(np.asarray(st.scenario.phase)[0]) >= 2  # brake phase reached
     # blind full-throttle ego rear-ends the braking lead
     sc = compute_score(spec, st)
     assert int(sc["collisions_vehicle"]) >= 1
@@ -156,7 +156,7 @@ def test_junction_adversary_crosses():
     assert bool(np.asarray(st0.vehicles.alive)[0])
     assert int(np.asarray(st0.vehicles.mode)[0]) == 0  # parked until trigger
     st = drive(spec, [0.5, 0, 0, 0, 0, 0, 0], steps=500)
-    assert int(np.asarray(st.scenario.phase)) >= 1  # triggered
+    assert int(np.asarray(st.scenario.phase)[0]) >= 1  # triggered
     moved = np.linalg.norm(
         np.asarray(st.vehicles.pos)[0] - np.asarray(st0.vehicles.pos)[0])
     despawned = not bool(np.asarray(st.vehicles.alive)[0])
@@ -170,7 +170,7 @@ def test_control_loss_perturbs_heading():
     st = drive(spec, [0.5, 0, 0, 0, 0, 0, 0], steps=320)
     st_ref = drive(ref, [0.5, 0, 0, 0, 0, 0, 0], steps=320)
     dev = abs(float(st.ego.pos[1]) - float(st_ref.ego.pos[1]))
-    assert int(np.asarray(st.scenario.phase)) >= 1
+    assert int(np.asarray(st.scenario.phase)[0]) >= 1
     assert dev > 0.05  # the wobble displaced the blind ego
 
 

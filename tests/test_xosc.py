@@ -154,3 +154,58 @@ def test_reference_road_position_gated():
     # FollowLeadingVehicle places the hero by RoadPosition (needs OpenDRIVE)
     with pytest.raises(ValueError, match="RoadPosition"):
         load_xosc(REF_EXAMPLES / "FollowLeadingVehicle.xosc")
+
+
+def test_multi_adversary_storyboard(tmp_path):
+    """Two adversaries -> two scenario records, events scoped per entity."""
+    doc = SYNTH.replace(
+        '<ScenarioObject name="adversary">',
+        '<ScenarioObject name="lead">\n'
+        '      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>\n'
+        '    </ScenarioObject>\n'
+        '    <ScenarioObject name="adversary">',
+    ).replace(
+        '<Private entityRef="adversary">',
+        '<Private entityRef="lead">\n'
+        '          <PrivateAction><TeleportAction><Position>\n'
+        '            <RelativeWorldPosition entityRef="hero" dx="100" dy="0"/>\n'
+        '          </Position></TeleportAction></PrivateAction>\n'
+        '        </Private>\n'
+        '        <Private entityRef="adversary">',
+    ).replace(
+        "</ManeuverGroup></Act></Story>",
+        '</ManeuverGroup>\n'
+        '    <ManeuverGroup name="M2" maximumExecutionCount="1">\n'
+        '      <Actors selectTriggeringEntities="false"><EntityRef entityRef="lead"/></Actors>\n'
+        '      <Maneuver name="Drive">\n'
+        '        <Event name="Go" priority="overwrite">\n'
+        '          <Action name="Go"><PrivateAction><LongitudinalAction><SpeedAction>\n'
+        '            <SpeedActionDynamics dynamicsShape="step" value="1" dynamicsDimension="time"/>\n'
+        '            <SpeedActionTarget><AbsoluteTargetSpeed value="7.5"/></SpeedActionTarget>\n'
+        '          </SpeedAction></LongitudinalAction></PrivateAction></Action>\n'
+        '          <StartTrigger><ConditionGroup>\n'
+        '            <Condition name="Near2" delay="0" conditionEdge="rising">\n'
+        '              <ByEntityCondition>\n'
+        '                <TriggeringEntities triggeringEntitiesRule="any"><EntityRef entityRef="hero"/></TriggeringEntities>\n'
+        '                <EntityCondition><RelativeDistanceCondition entityRef="lead"\n'
+        '                  relativeDistanceType="cartesianDistance" value="30.0" freespace="false" rule="lessThan"/></EntityCondition>\n'
+        '              </ByEntityCondition>\n'
+        '            </Condition>\n'
+        '          </ConditionGroup></StartTrigger>\n'
+        '        </Event>\n'
+        '      </Maneuver>\n'
+        '    </ManeuverGroup></Act></Story>',
+    )
+    p = tmp_path / "TwoAdversaries.xosc"
+    p.write_text(doc)
+    route = load_xosc(p)
+    recs = route["scenarios"]
+    assert len(recs) == 2
+    by_type = {r["type"]: r for r in recs}
+    assert by_type["PedestrianCrossing"]["speed"] == pytest.approx(2.5)
+    assert by_type["PedestrianCrossing"]["distance"] == pytest.approx(18.0)
+    assert by_type["HardBreakRoute"]["speed"] == pytest.approx(7.5)
+    assert by_type["HardBreakRoute"]["distance"] == pytest.approx(30.0)
+    spec = build_world_spec(route, ambient=False)
+    assert spec.scenario_type.shape == (2,)
+    assert sorted(np.asarray(spec.scenario_type).tolist()) == [6, 12]
