@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as C
-from .state import ActorPool, SceneState
+from .state import ActorPool, SceneState, in_any_window as _in_window
 from .traffic_lights import GREEN, light_state
 
 AMBIENT_SAME = C.N_VEHICLES - C.N_AMBIENT_SAME - C.N_AMBIENT_OPP  # 16
@@ -44,15 +44,6 @@ _OPP_INIT = jnp.asarray([40.0, 70.0, 100.0, 130.0])
 CAR_EXTENT = jnp.asarray([2.4, 0.95])
 BEHIND_DESPAWN = 60.0  # same-dir actors this far behind the ego recycle
 OPP_BEHIND_DESPAWN = 15.0  # opposite traffic passes the ego and recycles
-
-
-def _in_window(s, win):
-    """Inside ANY of the [K, 2] keep-clear windows (one per scenario slot;
-    an empty slot has hi <= lo and never matches). ``s`` scalar or [n]."""
-    s = jnp.asarray(s)
-    hit = ((s[..., None] >= win[..., 0]) & (s[..., None] <= win[..., 1])
-           & (win[..., 1] > win[..., 0]))
-    return jnp.any(hit, axis=-1)
 
 
 def ambient_reset(spec, vehicles: ActorPool) -> ActorPool:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from . import constants as C
 
-from .state import SceneState
+from .state import SceneState, in_any_window
 
 ROUTE_WINDOW = 20  # forward search window for ego localization (1 m points)
 
@@ -85,10 +85,7 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     # lateral offset from the route centerline plus a crossing-pavement test.
     s_here = new_idx.astype(jnp.float32)
     # one allow-window per scenario slot ([K, 2]); inside ANY of them counts
-    in_allow = jnp.any(
-        (s_here >= spec.lane_allow[:, 0]) & (s_here <= spec.lane_allow[:, 1])
-        & (spec.lane_allow[:, 1] > spec.lane_allow[:, 0])
-    )
+    in_allow = in_any_window(s_here, spec.lane_allow)
     tang = spec.route_dir[new_idx]
     delta_r = ego.pos - spec.route_xy[new_idx]
     # driver's-left normal in CARLA's y-south frame (world._left)

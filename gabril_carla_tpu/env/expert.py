@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from . import constants as C
 from .dynamics import left_normal, polyline_point
-from .state import SceneState
+from .state import SceneState, in_any_window
 
 CRUISE_SPEED = 9.0  # m/s — above the 7.0 ambient cruise so stops and turns do
 # not drag the MinimumSpeedRouteTest ratio below 100% (drive with the traffic)
@@ -67,9 +67,13 @@ def expert_action(spec, state: SceneState) -> jnp.ndarray:
     blocker_end = jnp.max(jnp.where(ahead, obs_s, -jnp.inf))
     has_blocker = jnp.isfinite(blocker_s)
     # overtakes only where the scenario legitimizes the opposite lane
-    # (TwoWays families); elsewhere — e.g. BlockedIntersection — wait it out
+    # (TwoWays families) AND the blocker sits inside that slot's own
+    # lane-allow window — a blocker owned by a different slot on the same
+    # route (e.g. BlockedIntersection) must be waited out, not passed
     stype = spec.scenario_type  # [K] scenario slots per route
-    overtake_scenario = jnp.any((stype == 2) | (stype == 5) | (stype == 9))
+    twoways = (stype == 2) | (stype == 5) | (stype == 9)
+    tw_windows = jnp.where(twoways[:, None], spec.lane_allow, 0.0)  # [K, 2]
+    overtake_scenario = in_any_window(blocker_s, tw_windows)
     # overtake window: approach 10 m before the first blocker, return 8 m after
     in_overtake = (
         overtake_scenario & has_blocker

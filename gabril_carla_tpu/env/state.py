@@ -14,6 +14,17 @@ from flax import struct
 from . import constants as C
 
 
+def in_any_window(s, win):
+    """Inside ANY of the [K, 2] route-arclength windows (one per scenario
+    slot; an empty slot has hi <= lo and never matches). ``s`` scalar or
+    [n]; returns bool of ``s``'s shape. Shared by ambient keep-clear,
+    lane-allow (criteria), and the expert's overtake gate."""
+    s = jnp.asarray(s)
+    hit = ((s[..., None] >= win[..., 0]) & (s[..., None] <= win[..., 1])
+           & (win[..., 1] > win[..., 0]))
+    return jnp.any(hit, axis=-1)
+
+
 @struct.dataclass
 class EgoState:
     pos: jnp.ndarray  # [2] x, y (CARLA map frame, meters)

@@ -547,6 +547,10 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         added_stop = False
         if nonsignalized and "Stopsign" in name:
             # VanillaNonSignalizedTurnEncounterStopsign: stop sign at the trigger
+            if n_stop >= C.N_STOPS:
+                raise ValueError(
+                    f"route {route.get('id')}: scenario slot {si} ({name}) "
+                    f"exceeds stop-sign capacity N_STOPS={C.N_STOPS}")
             stop_s[n_stop] = trig_s
             n_stop += 1
             added_stop = True
@@ -713,6 +717,10 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             if "RunningRedLight" in name and conflict_s > 14.0:
                 # signalized junction; the ego faces a working (green) light while
                 # the adversary runs the red from the crossing road
+                if n_tl >= N_TRAFFIC_LIGHTS:
+                    raise ValueError(
+                        f"route {route.get('id')}: scenario slot {si} ({name}) "
+                        f"exceeds traffic-light capacity N_TRAFFIC_LIGHTS={N_TRAFFIC_LIGHTS}")
                 tl_stop_s[n_tl] = conflict_s - 8.0
                 tl_green[n_tl] = 1e6
                 tl_yellow[n_tl] = 0.0
@@ -769,6 +777,10 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             d2 = np.linalg.norm(xy[:, None, :] - fl[None, :, :], axis=-1).min(axis=1)
             cross_s = float(np.argmin(d2))
             if d2.min() < 6.0 and cross_s > 8.0 and not nonsignalized:
+                if n_tl >= N_TRAFFIC_LIGHTS:
+                    raise ValueError(
+                        f"route {route.get('id')}: scenario slot {si} ({name}) "
+                        f"exceeds traffic-light capacity N_TRAFFIC_LIGHTS={N_TRAFFIC_LIGHTS}")
                 tl_stop_s[n_tl] = cross_s - 6.0
                 tl_green[n_tl] = 1e6
                 tl_yellow[n_tl] = 0.0

@@ -138,15 +138,24 @@ def _adversary_event(root: ET.Element, params,
     """First triggered SpeedAction -> (trigger_distance_m | None, target_speed).
 
     With ``entity`` given, the search is scoped to the ManeuverGroups whose
-    Actors reference that entity (per-adversary events on multi-adversary
-    storyboards); falls back to the whole document when the entity has no
-    scoped group.
+    **Actors block** references that entity (per-adversary events on
+    multi-adversary storyboards) — StartTrigger EntityRefs don't count, a
+    group that starts *on a condition about* the pedestrian isn't the
+    pedestrian's maneuver. An entity with no group of its own (Init-teleport
+    props) gets no event; the whole-document fallback applies only to legacy
+    docs with no Actors-scoped groups anywhere.
     """
     roots: list[ET.Element] = []
-    if entity is not None:
-        for g in root.iter("ManeuverGroup"):
-            if any(r.get("entityRef") == entity for r in g.iter("EntityRef")):
-                roots.append(g)
+    scoped_any = False
+    for g in root.iter("ManeuverGroup"):
+        actors = g.find("Actors")
+        refs = [] if actors is None else [
+            r.get("entityRef") for r in actors.iter("EntityRef")]
+        scoped_any = scoped_any or bool(refs)
+        if entity is not None and entity in refs:
+            roots.append(g)
+    if entity is not None and not roots and scoped_any:
+        return None, 0.0
     for event in (e for r in (roots or [root]) for e in r.iter("Event")):
         speed = event.find(".//SpeedAction/SpeedActionTarget/AbsoluteTargetSpeed")
         if speed is None:
@@ -219,6 +228,10 @@ def load_xosc(path: str | Path, route_len: float = 150.0) -> dict:
         rec_type = {"pedestrian": "PedestrianCrossing",
                     "bicycle": "DynamicObjectCrossing",
                     "car": "HardBreakRoute"}[adv["kind"]]
+        if adv["kind"] == "car" and speed <= 0.0:
+            # Init-teleport-only vehicle with no maneuver of its own: a
+            # parked prop (static blocker), not a braking lead
+            rec_type = "ParkedObstacle"
         rec = {"type": rec_type,
                "trigger": (float(p_trig[0]), float(p_trig[1]), math.degrees(hyaw)),
                "distance": float(arm)}

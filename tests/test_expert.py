@@ -79,3 +79,42 @@ def test_expert_crosses_dense_bicycle_flow_without_collision():
     sc = compute_score(spec, st)
     assert float(sc["collisions_vehicle"]) == 0
     assert float(sc["score_route"]) > 70.0  # made it through the junction
+
+
+def test_overtake_gate_scoped_to_twoways_slot():
+    """A TwoWays slot elsewhere on the route must NOT legitimize passing a
+    BlockedIntersection blocker: the expert waits it out in its own lane
+    (the gate is per-slot lane_allow windows, not any-TwoWays-anywhere)."""
+    wps = np.stack([np.arange(0.0, 300.0, 2.0), np.zeros(150)], 1).astype(np.float32)
+    spec = jax.tree.map(jnp.asarray, build_world_spec(
+        {"id": 7, "town": "T", "waypoints": wps, "weather": [0, 0, 0, 90],
+         "scenarios": [
+             {"type": "AccidentTwoWays", "trigger": (40.0, 0.0, 0.0),
+              "distance": 50.0, "frequency": (60.0, 90.0)},
+             {"type": "BlockedIntersection", "trigger": (170.0, 0.0, 0.0)},
+         ]},
+        ambient=False))
+    env = DrivingEnv()
+
+    def tick(s, _):
+        s2 = env.step(spec, s, expert_action(spec, s))
+        return s2, (s2.ego.pos, s2.ego.route_idx)
+
+    st, (pos, idx) = jax.jit(
+        lambda k: jax.lax.scan(tick, env.reset(spec, k), None, length=2200)
+    )(jax.random.PRNGKey(0))
+    sc = compute_score(spec, st)
+    assert float(sc["score_route"]) == 100.0
+    assert int(sc["collisions_vehicle"]) == 0
+    # signed lateral offset (driver's left positive), per criteria.py
+    pos, idx = np.asarray(pos), np.asarray(idx)
+    tang = np.asarray(spec.route_dir)[idx]
+    delta = pos - np.asarray(spec.route_xy)[idx]
+    lat = delta[:, 0] * tang[:, 1] - delta[:, 1] * tang[:, 0]
+    # opposite-lane excursions allowed only inside the Accident stretch
+    blocked_zone = idx > 140
+    assert not np.any((lat > 1.2) & blocked_zone), (
+        f"expert invaded the oncoming lane at the BlockedIntersection: "
+        f"max lat {lat[blocked_zone].max():.2f}")
+    # sanity: it DID overtake the accident (opposite lane inside the window)
+    assert np.any((lat > 1.2) & (idx > 40) & (idx < 140))

@@ -141,3 +141,11 @@ def test_lane_allow_windows_union():
     assert la.shape == (2, 2)
     assert la[0, 1] > la[0, 0] and la[1, 1] > la[1, 0]
     assert la[1, 0] > la[0, 1] - 20.0  # second window sits further down-route
+
+
+def test_stop_sign_capacity_overflow_raises():
+    """N_STOPS=2: a third stop-sign scenario must fail loudly at build."""
+    scens = [{"type": "VanillaNonSignalizedTurnEncounterStopsign",
+              "trigger": (30.0 + 40.0 * i, 0.0, 0.0)} for i in range(3)]
+    with pytest.raises(ValueError, match="N_STOPS"):
+        build_world_spec(_route(scens, length=220.0))

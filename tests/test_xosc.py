@@ -209,3 +209,85 @@ def test_multi_adversary_storyboard(tmp_path):
     spec = build_world_spec(route, ambient=False)
     assert spec.scenario_type.shape == (2,)
     assert sorted(np.asarray(spec.scenario_type).tolist()) == [6, 12]
+
+
+def test_trigger_condition_entityref_does_not_claim_group(tmp_path):
+    """A group whose StartTrigger *references* the pedestrian (drive off when
+    the ped is near) is NOT the pedestrian's maneuver: only the Actors block
+    scopes attribution. Placed before the ped's own group to expose
+    document-order capture."""
+    doc = SYNTH.replace(
+        '<ScenarioObject name="adversary">',
+        '<ScenarioObject name="lead">\n'
+        '      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>\n'
+        '    </ScenarioObject>\n'
+        '    <ScenarioObject name="adversary">',
+    ).replace(
+        '<Private entityRef="adversary">',
+        '<Private entityRef="lead">\n'
+        '          <PrivateAction><TeleportAction><Position>\n'
+        '            <RelativeWorldPosition entityRef="hero" dx="100" dy="0"/>\n'
+        '          </Position></TeleportAction></PrivateAction>\n'
+        '        </Private>\n'
+        '        <Private entityRef="adversary">',
+    ).replace(
+        '<Act name="A"><ManeuverGroup name="M" maximumExecutionCount="1">',
+        '<Act name="A"><ManeuverGroup name="M2" maximumExecutionCount="1">\n'
+        '      <Actors selectTriggeringEntities="false"><EntityRef entityRef="lead"/></Actors>\n'
+        '      <Maneuver name="Drive">\n'
+        '        <Event name="Go" priority="overwrite">\n'
+        '          <Action name="Go"><PrivateAction><LongitudinalAction><SpeedAction>\n'
+        '            <SpeedActionDynamics dynamicsShape="step" value="1" dynamicsDimension="time"/>\n'
+        '            <SpeedActionTarget><AbsoluteTargetSpeed value="9.0"/></SpeedActionTarget>\n'
+        '          </SpeedAction></LongitudinalAction></PrivateAction></Action>\n'
+        '          <StartTrigger><ConditionGroup>\n'
+        '            <Condition name="PedNear" delay="0" conditionEdge="rising">\n'
+        '              <ByEntityCondition>\n'
+        '                <TriggeringEntities triggeringEntitiesRule="any"><EntityRef entityRef="hero"/></TriggeringEntities>\n'
+        '                <EntityCondition><RelativeDistanceCondition entityRef="adversary"\n'
+        '                  relativeDistanceType="cartesianDistance" value="25.0" freespace="false" rule="lessThan"/></EntityCondition>\n'
+        '              </ByEntityCondition>\n'
+        '            </Condition>\n'
+        '          </ConditionGroup></StartTrigger>\n'
+        '        </Event>\n'
+        '      </Maneuver>\n'
+        '    </ManeuverGroup><ManeuverGroup name="M" maximumExecutionCount="1">',
+    )
+    p = tmp_path / "TriggerRefCapture.xosc"
+    p.write_text(doc)
+    recs = {r["type"]: r for r in load_xosc(p)["scenarios"]}
+    # the ped keeps ITS event (walkSpeed/18 m), not the lead's (9.0/25 m)
+    assert recs["PedestrianCrossing"]["speed"] == pytest.approx(2.5)
+    assert recs["PedestrianCrossing"]["distance"] == pytest.approx(18.0)
+    assert recs["HardBreakRoute"]["speed"] == pytest.approx(9.0)
+    assert recs["HardBreakRoute"]["distance"] == pytest.approx(25.0)
+
+
+def test_init_only_vehicle_is_parked_prop(tmp_path):
+    """An entity with only an Init teleport (no ManeuverGroup of its own)
+    must not inherit another entity's maneuver: it compiles to a static
+    ParkedObstacle record with no speed."""
+    doc = SYNTH.replace(
+        '<ScenarioObject name="adversary">',
+        '<ScenarioObject name="prop">\n'
+        '      <Vehicle name="vehicle.nissan.patrol" vehicleCategory="car"/>\n'
+        '    </ScenarioObject>\n'
+        '    <ScenarioObject name="adversary">',
+    ).replace(
+        '<Private entityRef="adversary">',
+        '<Private entityRef="prop">\n'
+        '          <PrivateAction><TeleportAction><Position>\n'
+        '            <RelativeWorldPosition entityRef="hero" dx="80" dy="0"/>\n'
+        '          </Position></TeleportAction></PrivateAction>\n'
+        '        </Private>\n'
+        '        <Private entityRef="adversary">',
+    )
+    p = tmp_path / "StaticProp.xosc"
+    p.write_text(doc)
+    route = load_xosc(p)
+    recs = {r["type"]: r for r in route["scenarios"]}
+    assert recs["PedestrianCrossing"]["speed"] == pytest.approx(2.5)
+    assert "ParkedObstacle" in recs, recs
+    assert "speed" not in recs["ParkedObstacle"]
+    spec = build_world_spec(route, ambient=False)
+    assert spec.scenario_type.shape == (2,)
