@@ -31,4 +31,16 @@ for attempt in 1 2; do
     >> "$OUT/oracleheat.log" 2>&1 && { echo "oracleheat OK"; break; }
   echo "oracleheat attempt $attempt failed (rc=$?)" | tee -a "$OUT/oracleheat.log"; sleep 420
 done
+
+# 4. rest-suite seeds lost to the round-3 relay death (seed 42 completed;
+#    43/44 resume from the cache + any partial runs/)
+for attempt in 1 2; do
+  timeout 14400 python -u examples/full_benchmark.py \
+    --train_seeds $(seq 200 219) --epochs 30 --batch_size 128 \
+    --store_cache "$OUT/expert_cache_raw.npz" \
+    --methods Mask Contrastive None:IGMD None:Oreo \
+    --train_seed 43 44 --out "$OUT/rest" \
+    >> "$OUT/rest.log" 2>&1 && { echo "rest OK (attempt $attempt)"; break; }
+  echo "rest attempt $attempt failed (rc=$?)" | tee -a "$OUT/rest.log"; sleep 420
+done
 echo POST DONE
