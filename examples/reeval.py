@@ -93,8 +93,13 @@ def main():
         old = json.loads(report_path.read_text()) if report_path.exists() else {}
         labels = args.methods or list(old.get("methods", {}))
         confounded = args.confounded or bool(old.get("confounded", False))
+        # merge into an existing out_name report so staged runs (e.g.
+        # --only None Reg@0.3 now, --only GRIL later) accumulate methods
+        prev_path = seed_dir / args.out_name
+        prev = json.loads(prev_path.read_text()) if prev_path.exists() else {}
         report = {**{k: v for k, v in old.items() if k != "methods"},
-                  "reeval": True, "confounded": confounded, "methods": {}}
+                  "reeval": True, "confounded": confounded,
+                  "methods": dict(prev.get("methods", {}))}
 
         for k, ckpt in enumerate(run_dirs):
             agent = BCAgent(ckpt)
