@@ -20,6 +20,46 @@ import time
 from pathlib import Path
 
 
+def parse_spec(label: str) -> dict:
+    """Method[:Dropout][@lambda][%ratio][!notemporal] -> attr dict
+    (full_benchmark.py run_seed grammar)."""
+    m, lam, d, ratio, temporal = label, None, "None", None, True
+    if "!notemporal" in m:
+        m, temporal = m.replace("!notemporal", ""), False
+    if "%" in m:
+        m, ratio = m.split("%")
+        ratio = float(ratio)
+    if "@" in m:
+        m, lam = m.split("@")
+        lam = float(lam)
+    if ":" in m:
+        m, d = m.split(":")
+    return {"gaze_method": m or "None", "dp_method": d or "None",
+            "gaze_lambda": lam, "gaze_ratio": ratio,
+            "temporal_flag": temporal}
+
+
+def spec_matches(label: str, man: dict) -> bool:
+    """Does a method-spec label describe this checkpoint manifest?
+
+    (gaze_method, dp_method) must agree; the identity fields written by
+    save_manifest since round 3 (gaze_lambda/gaze_ratio/temporal_flag)
+    must agree when BOTH the label pins a value and the manifest recorded
+    one — legacy manifests without them match on the pair alone."""
+    p = parse_spec(label)
+    if (p["gaze_method"], p["dp_method"]) != (
+            man.get("gaze_method", "None"), man.get("dp_method", "None")):
+        return False
+    for key in ("gaze_lambda", "gaze_ratio"):
+        if key in man and man[key] is not None and p[key] is not None \
+                and abs(man[key] - p[key]) > 1e-9:
+            return False
+    # temporal is always pinned by the grammar (absence means True)
+    if "temporal_flag" in man and bool(man["temporal_flag"]) != p["temporal_flag"]:
+        return False
+    return True
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -105,15 +145,18 @@ def main():
             agent = BCAgent(ckpt)
             man = agent.manifest
             pair = (man.get("gaze_method", "None"), man.get("dp_method", "None"))
-
-            def spec_pair(label):
-                core = label.split("@")[0].split("%")[0].replace("!notemporal", "")
-                g, _, d = core.partition(":")
-                return (g or "None", d or "None")
-
-            matches = [m for m in labels if spec_pair(m) == pair]
-            label = matches[0] if len(matches) == 1 else (
-                labels[k] if k < len(labels) else f"{pair[0]}:{pair[1]}#{k}")
+            matches = [m for m in labels if spec_matches(m, man)]
+            if len(matches) == 1:
+                label = matches[0]
+            else:
+                # legacy manifests without identity fields: fall back to
+                # creation order (run dirs are timestamped, full_benchmark
+                # trains methods in report.json insertion order) — unsafe
+                # if a suite retry re-trained a subset, hence the warning
+                label = labels[k] if k < len(labels) else f"{pair[0]}:{pair[1]}#{k}"
+                print(f"[{seed_dir.name}] WARNING: checkpoint {ckpt.parent.name} "
+                      f"matches {len(matches)} labels; positional fallback -> "
+                      f"'{label}'", flush=True)
             if args.only is not None and label not in args.only:
                 continue
 

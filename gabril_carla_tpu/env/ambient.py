@@ -175,6 +175,8 @@ def ambient_step(spec, state: SceneState, key) -> SceneState:
             half_extent=vv.half_extent.at[slot].set(
                 jnp.where(ok, CAR_EXTENT, vv.half_extent[slot])
             ),
+            # recycled slot = physically new actor (collision-dedup identity)
+            gen=set1(vv.gen, vv.gen[slot] + 1),
         )
         tgt = tgt.at[slot].set(jnp.where(ok, spec.amb_speed, tgt[slot]))
         return vv, tgt

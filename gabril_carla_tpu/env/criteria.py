@@ -150,9 +150,16 @@ def criteria_step(spec, state: SceneState) -> SceneState:
         jnp.linalg.norm(ego.pos - crit.last_collision_pos) <= C.COLLISION_RADIUS
     )
     blocked_all = loc_valid | (ego.speed < C.COLLISION_EPSILON)
-    elig_v = hit_v & ~(id_active & (vid == crit.last_collision_id))
-    elig_w = hit_w & ~(id_active & (wid == crit.last_collision_id))
-    elig_s = hit_s & ~(id_active & (sid == crit.last_collision_id))
+    # identity = (slot id, spawn generation): a flow/ambient respawn recycling
+    # the slot within MAX_ID_TIME is a NEW actor and must register (CARLA
+    # actor ids never recycle; pool slots do). Walkers/statics never respawn
+    # (gen 0 for life).
+    same_gen_v = veh.gen == crit.last_collision_gen
+    elig_v = hit_v & ~(id_active & (vid == crit.last_collision_id) & same_gen_v)
+    elig_w = hit_w & ~(id_active & (wid == crit.last_collision_id)
+                       & (crit.last_collision_gen == 0))
+    elig_s = hit_s & ~(id_active & (sid == crit.last_collision_id)
+                       & (crit.last_collision_gen == 0))
     any_v = jnp.any(elig_v) & ~blocked_all
     any_w = jnp.any(elig_w) & ~blocked_all & ~any_v
     any_s = jnp.any(elig_s) & ~blocked_all & ~any_v & ~any_w
@@ -161,7 +168,9 @@ def criteria_step(spec, state: SceneState) -> SceneState:
         any_v, vid[jnp.argmax(elig_v)],
         jnp.where(any_w, wid[jnp.argmax(elig_w)], sid[jnp.argmax(elig_s)]),
     )
+    event_gen = jnp.where(any_v, veh.gen[jnp.argmax(elig_v)], 0)
     new_id = jnp.where(fired, event_id, crit.last_collision_id)
+    new_gen = jnp.where(fired, event_gen, crit.last_collision_gen)
     new_time = jnp.where(fired, t_now, crit.last_collision_time)
     new_last = jnp.where(fired, ego.pos, crit.last_collision_pos)
     new_loc_valid = jnp.where(fired, True, loc_valid)
@@ -225,6 +234,7 @@ def criteria_step(spec, state: SceneState) -> SceneState:
         collisions_pedestrian=crit.collisions_pedestrian + any_w.astype(jnp.int32),
         collisions_static=crit.collisions_static + any_s.astype(jnp.int32),
         last_collision_id=new_id,
+        last_collision_gen=new_gen,
         last_collision_time=new_time,
         last_collision_pos=new_last,
         collision_loc_valid=new_loc_valid,
@@ -298,7 +308,9 @@ def compute_score(spec, state: SceneState) -> dict:
         "stop_infraction": crit.stop_infraction,
         "outside_route_lanes_pct": pct_outside,
         "min_speed_penalty": crit.ms_penalty * final_factor,
-        "scenario_timeout": jnp.any(state.scenario.timed_out),
+        # count, not any(): the penalty above multiplies 0.7 PER timed-out
+        # slot, and stats.py emits one infraction message per event
+        "scenario_timeout": jnp.sum(state.scenario.timed_out.astype(jnp.int32)),
         "yield_emergency": ev_failed,
         "blocked": crit.blocked,
         "deviated": crit.deviated,

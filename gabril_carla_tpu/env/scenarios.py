@@ -87,6 +87,8 @@ def spawn_flows(spec, state: SceneState, key) -> SceneState:
                 jnp.where(do_spawn, extent, veh.half_extent[slot])
             ),
             lane_offset=set_at(veh.lane_offset, 0.0),
+            # recycled slot = physically new actor (collision-dedup identity)
+            gen=set_at(veh.gen, veh.gen[slot] + 1),
         )
         gaps = gaps.at[flow].set(new_gap)
     return state.replace(vehicles=veh, scenario=state.scenario.replace(next_gap=gaps))
@@ -276,7 +278,7 @@ def _hard_brake(spec, state: SceneState, k: int) -> SceneState:
         mode=veh.mode.at[vb].set(jnp.where(trigger, 2, veh.mode[vb])),
         flow_s=veh.flow_s.at[vb].set(jnp.where(trigger, spawn_s, veh.flow_s[vb])),
         direction=veh.direction.at[vb].set(jnp.where(trigger, 1.0, veh.direction[vb])),
-        speed=veh.speed.at[vb].set(jnp.where(trigger, 7.0, veh.speed[vb])),
+        speed=veh.speed.at[vb].set(jnp.where(trigger, spec.scen_aux[k, 1], veh.speed[vb])),
         half_extent=veh.half_extent.at[vb].set(
             jnp.where(trigger, jnp.asarray([2.4, 0.95]), veh.half_extent[vb])),
     )
@@ -287,7 +289,7 @@ def _hard_brake(spec, state: SceneState, k: int) -> SceneState:
     braking = (phase == 2) & (sc.timer[k] - aux < 4.0)
     resume = (phase == 2) & (sc.timer[k] - aux >= 4.0)
     phase = jnp.where(resume, 3, phase)
-    target = jnp.where(braking, 0.0, jnp.where(phase >= 1, 7.0, 0.0))
+    target = jnp.where(braking, 0.0, jnp.where(phase >= 1, spec.scen_aux[k, 1], 0.0))
     veh = veh.replace(target_speed=veh.target_speed.at[vb].set(target))
     return state.replace(vehicles=veh, scenario=sc.replace(
         phase=sc.phase.at[k].set(phase), aux=sc.aux.at[k].set(aux)))

@@ -51,6 +51,10 @@ class ActorPool:
     lane_offset: jnp.ndarray  # [N] signed lateral offset (lane-follow mode)
     direction: jnp.ndarray  # [N] +1 along route, -1 oncoming
     target_speed: jnp.ndarray  # [N]
+    gen: jnp.ndarray  # [N] int32 spawn generation — bumped when a flow /
+    # ambient respawn recycles the slot, so collision dedup distinguishes a
+    # physically new actor in an old slot (CARLA actor ids never recycle
+    # within the dedup window; slot indices do)
 
     @staticmethod
     def empty(n: int = C.N_VEHICLES) -> "ActorPool":
@@ -60,7 +64,7 @@ class ActorPool:
             alive=jnp.zeros((n,), bool), kind=z((n,), jnp.int32),
             mode=z((n,), jnp.int32), half_extent=jnp.full((n, 2), 1.0),
             flow_s=z((n,)), lane_offset=z((n,)), direction=jnp.ones((n,)),
-            target_speed=z((n,)),
+            target_speed=z((n,)), gen=z((n,), jnp.int32),
         )
 
 
@@ -134,6 +138,8 @@ class Criteria:
     collisions_static: jnp.ndarray
     last_collision_id: jnp.ndarray  # int32 global actor id of the last event
     # (-1 = none); same-id events within COLLISION_MAX_ID_TIME are one event
+    last_collision_gen: jnp.ndarray  # int32 spawn generation of that actor
+    # (slot reuse by a flow respawn is a NEW actor; see ActorPool.gen)
     last_collision_time: jnp.ndarray  # f32 sim seconds of the last event
     last_collision_pos: jnp.ndarray  # [2] ego position at the last event
     collision_loc_valid: jnp.ndarray  # bool: location filter armed; cleared
@@ -163,6 +169,7 @@ class Criteria:
         return Criteria(
             collisions_vehicle=i0, collisions_pedestrian=i0, collisions_static=i0,
             last_collision_id=jnp.asarray(-1, jnp.int32),
+            last_collision_gen=i0,
             last_collision_time=jnp.asarray(-1e9),
             last_collision_pos=jnp.full((2,), 1e9),
             collision_loc_valid=jnp.asarray(False),

@@ -142,7 +142,6 @@ class WorldSpec:
     walk_pos: np.ndarray  # [W, 2]
     walk_vel: np.ndarray  # [W, 2]
     walk_ttl: np.ndarray  # [W]
-    walk_count: np.ndarray  # () int32 total pre-declared walkers
     # per-scenario resource windows and anchors
     scen_pos: np.ndarray  # [K, 2] scenario anchor (blocker/adversary position)
     scen_aux: np.ndarray  # [K, 4] type-specific floats
@@ -393,7 +392,6 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     walk_pos = np.zeros((C.N_WALKERS, 2), np.float32)
     walk_vel = np.zeros((C.N_WALKERS, 2), np.float32)
     walk_ttl = np.zeros(C.N_WALKERS, np.float32)
-    walk_count = 0
     flow_xy = np.zeros((N_FLOWS, C.MAX_FLOW_POINTS, 2), np.float32)
     flow_dir = np.zeros((N_FLOWS, C.MAX_FLOW_POINTS, 2), np.float32)
     flow_dir[..., 0] = 1.0
@@ -609,8 +607,11 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             cross_dir = _left(d)  # walks right -> left across the lane
             ca, sa = math.cos(ang), math.sin(ang)
             rot = np.array([[ca, -sa], [sa, ca]], np.float32)
-            v = rot @ cross_dir * 2.0  # 2 m/s (object_crash_vehicle.py:168)
-            add_walker(0, blocker + right * 1.0, v, (2.5 * lw) / 2.0)
+            # 2 m/s default (object_crash_vehicle.py:168); xosc storyboards
+            # carry the adversary's declared SpeedAction speed
+            wspd = float(scen.get("speed", 2.0))
+            v = rot @ cross_dir * wspd
+            add_walker(0, blocker + right * 1.0, v, (2.5 * lw) / max(wspd, 0.5))
             scen_pos_arr[si] = blocker
             scen_aux[0] = s0
 
@@ -657,10 +658,11 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             s0 = trig_s + 12.0
             p, d = _point_at(xy, dirs, s0)
             right = -_left(d)
+            wbase = float(scen.get("speed", 1.3))  # xosc SpeedAction override
             for k in range(3):
                 start = p + right * (lw * 0.9) + d * (1.0 * k)
-                add_walker(k, start, _left(d) * (1.3 + 0.35 * k),  # 1.3-2.0 m/s spread
-                           (2.3 * lw) / float(1.3 + 0.35 * k))
+                wspd = wbase + 0.35 * k  # pedestrian_crossing.py speed spread
+                add_walker(k, start, _left(d) * wspd, (2.3 * lw) / wspd)
             scen_pos_arr[si] = p
             scen_aux[0] = s0
 
@@ -737,6 +739,8 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
 
         elif stype == 12:  # HardBreakRoute: lead brakes hard in front of the ego
             scen_aux[0] = trig_s
+            # lead cruise speed: 7 m/s default; xosc leads declare theirs
+            scen_aux[1] = float(scen.get("speed", 7.0))
 
         elif stype == 13:  # ControlLoss: transient steering perturbation
             scen_aux[0] = trig_s
@@ -845,8 +849,6 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         _cur["sb"] += _cur["stat"]
         _cur["wb"] += _cur["walk"]
 
-    walk_count = _cur["wb"]
-
     sel = select_parked_near_route(parked, xy, dirs, C.N_STATICS - C.N_SCENARIO_STATICS)
     for k, (px, py, pyaw) in enumerate(sel):
         i = C.N_SCENARIO_STATICS + k
@@ -938,7 +940,6 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         walk_pos=walk_pos,
         walk_vel=walk_vel,
         walk_ttl=walk_ttl,
-        walk_count=np.int32(walk_count),
         scen_pos=scen_pos_arr,
         scen_aux=scen_aux_arr,
         scen_veh_base=scen_veh_base,

@@ -70,16 +70,24 @@ def _resolve_position(pos: ET.Element, placed: dict[str, dict], params) -> tuple
     wp = pos.find("WorldPosition")
     if wp is not None:
         return (_f(wp.get("x"), params), _f(wp.get("y"), params), _f(wp.get("h"), params))
+    def _ref(name):
+        if name not in placed:
+            raise ValueError(
+                f"xosc: Relative*Position references entity '{name}' before "
+                "its own TeleportAction (Init blocks resolve in document "
+                "order); reorder the Init Private actions")
+        return placed[name]
+
     rel = pos.find("RelativeWorldPosition")
     if rel is not None:
-        ref = placed[rel.get("entityRef")]
+        ref = _ref(rel.get("entityRef"))
         return (ref["x"] + _f(rel.get("dx"), params),
                 ref["y"] + _f(rel.get("dy"), params), ref["yaw"])
     rrp = pos.find("RelativeRoadPosition")
     if rrp is not None:
         # ds along the referenced entity's heading, dt to its left — the
         # straight-road approximation of the srunner road-frame transform
-        ref = placed[rrp.get("entityRef")]
+        ref = _ref(rrp.get("entityRef"))
         ds, dt = _f(rrp.get("ds"), params), _f(rrp.get("dt"), params)
         c, s = math.cos(ref["yaw"]), math.sin(ref["yaw"])
         return (ref["x"] + ds * c - dt * s, ref["y"] + ds * s + dt * c, ref["yaw"])

@@ -50,7 +50,8 @@ def route_record(route_id: int, seed: int, score: dict, duration_game: float,
     infractions["route_timeout"] = []
     infractions["route_dev"] = ["Agent deviated from the route"] if s.get("deviated") else []
     infractions["vehicle_blocked"] = ["Agent got blocked"] if s.get("blocked") else []
-    infractions["scenario_timeouts"] = ["Scenario timed out"] if s.get("scenario_timeout") else []
+    infractions["scenario_timeouts"] = (
+        ["Scenario timed out"] * int(s.get("scenario_timeout", 0)))
     infractions["yield_emergency_vehicle"] = (
         ["Agent failed to yield to an emergency vehicle"] if s.get("yield_emergency") else []
     )

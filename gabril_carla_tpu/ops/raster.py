@@ -294,8 +294,15 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
     lastf = jnp.maximum(jnp.sum(fvalid.astype(jnp.int32)) - 1, 0)
     key = key.at[0].set(-0.7)
     key = key.at[n_valid_route - 1].set(-1.0)
-    key = key.at[ROUTE_VIEW].set(-0.6)
-    key = key.at[ROUTE_VIEW + lastf].set(-0.5)
+    # flow endpoints are forced only when the flow has a live point —
+    # unconditionally forcing them would rank two invalid rows as "near",
+    # inflating every prefix count by 2 and pushing the valid-row count to
+    # ROUTE_VIEW+1 on flow-less routes, so the kernel's 128-row tile-6
+    # prefix (its common case) would never engage
+    any_f = jnp.any(fvalid)
+    key = key.at[ROUTE_VIEW].set(jnp.where(any_f, -0.6, key[ROUTE_VIEW]))
+    key = key.at[ROUTE_VIEW + lastf].set(
+        jnp.where(any_f, -0.5, key[ROUTE_VIEW + lastf]))
     order = jnp.argsort(key)
     cols = cols[order]
     counts = jnp.stack(

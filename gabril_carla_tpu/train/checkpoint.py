@@ -45,6 +45,13 @@ def save_manifest(ckpt_dir: str | Path, cfg, epoch: int, extra: dict | None = No
         "models_path": str(Path(ckpt_dir).absolute()),
         "epochs": epoch,
         "action_dim": cfg.data["action_dim"],
+        # training-identity fields: (gaze_method, dp_method) alone is
+        # ambiguous inside an ablation suite (lambda/ratio/temporal sweeps
+        # share the pair), and reeval.py needs to re-attach labels to
+        # checkpoints without trusting directory order
+        "gaze_lambda": cfg.get_path("gaze.lambda_weight", None),
+        "gaze_ratio": cfg.get_path("gaze.ratio", None),
+        "temporal_flag": cfg.get_path("gaze.temporal_flag", True),
     }
     if extra:
         manifest.update(extra)

@@ -130,3 +130,31 @@ def test_stationary_ego_not_at_fault():
     st = with_walker(base_state(spec, x=10.0, speed=0.0), 0, [12.6, 0.0])
     st = step(spec, st)
     assert int(st.criteria.collisions_pedestrian) == 0
+
+
+def test_recycled_slot_is_a_new_actor():
+    """A flow respawn recycling the slot of a just-hit actor within
+    MAX_ID_TIME must register a second event: identity is (slot, spawn
+    generation), matching CARLA's never-recycled actor ids."""
+    spec = make_spec()
+    st = with_vehicle(base_state(spec, x=10.0), 0, [10.5, 0.0])
+    st = step(spec, st)
+    assert int(st.criteria.collisions_vehicle) == 1
+    # the flow recycles slot 0 for a NEW bike 1 s later (gen bumps); the ego
+    # has moved past the 5 m location radius and hits it
+    v = st.vehicles
+    st = st.replace(
+        ego=st.ego.replace(pos=jnp.asarray([18.0, 0.0])),
+        t=jnp.asarray(20, jnp.int32),
+        vehicles=v.replace(pos=v.pos.at[0].set(jnp.asarray([18.5, 0.0])),
+                           gen=v.gen.at[0].set(v.gen[0] + 1)))
+    st = step(spec, st)
+    assert int(st.criteria.collisions_vehicle) == 2
+    # same slot, same generation (the same grinding actor) stays one event
+    st2 = with_vehicle(base_state(spec, x=10.0), 1, [10.5, 0.0])
+    st2 = step(spec, st2)
+    st2 = st2.replace(ego=st2.ego.replace(pos=jnp.asarray([18.0, 0.0])),
+                      t=jnp.asarray(20, jnp.int32))
+    st2 = with_vehicle(st2, 1, [18.5, 0.0])
+    st2 = step(spec, st2)
+    assert int(st2.criteria.collisions_vehicle) == 1

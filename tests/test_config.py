@@ -81,3 +81,47 @@ def test_figures_cli(tmp_path):
     names = {f.name for f in out.glob("*.png")}
     assert {"methods_bar.png", "lambda_curve.png", "ratio_curve.png",
             "confounded_bar.png"} <= names
+
+
+def test_manifest_records_identity_fields(tmp_path):
+    """save_manifest must pin lambda/ratio/temporal so ablation checkpoints
+    are distinguishable (reeval label re-attachment)."""
+    import json
+    from gabril_carla_tpu.train.checkpoint import save_manifest
+    from gabril_carla_tpu.utils.config import default_bc_config
+
+    cfg = default_bc_config()
+    cfg["gaze"]["method"] = "Reg"
+    cfg["gaze"]["lambda_weight"] = 0.03
+    cfg["gaze"]["ratio"] = 0.5
+    cfg["gaze"]["temporal_flag"] = False
+    save_manifest(tmp_path, cfg, epoch=3)
+    man = json.loads((tmp_path / "params.json").read_text())
+    assert man["gaze_lambda"] == 0.03
+    assert man["gaze_ratio"] == 0.5
+    assert man["temporal_flag"] is False
+
+
+def test_reeval_spec_matching():
+    """Label <-> manifest matching disambiguates ablation suites."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "reeval", Path(__file__).parent.parent / "examples" / "reeval.py")
+    reeval = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(reeval)
+
+    man_l003 = {"gaze_method": "Reg", "dp_method": "None",
+                "gaze_lambda": 0.03, "gaze_ratio": 1.0, "temporal_flag": True}
+    man_nt = {"gaze_method": "Reg", "dp_method": "None",
+              "gaze_lambda": 0.3, "gaze_ratio": 1.0, "temporal_flag": False}
+    labels = ["Reg@0.03", "Reg@0.1", "Reg@1.0", "Reg@0.3!notemporal"]
+    assert [m for m in labels if reeval.spec_matches(m, man_l003)] == ["Reg@0.03"]
+    assert [m for m in labels if reeval.spec_matches(m, man_nt)] == ["Reg@0.3!notemporal"]
+    # legacy manifest (no identity fields): pair-only match, ambiguous
+    legacy = {"gaze_method": "Reg", "dp_method": "None"}
+    assert len([m for m in labels if reeval.spec_matches(m, legacy)]) == 4
+    # dropout pairs stay exact
+    assert reeval.spec_matches("None:GMD", {"gaze_method": "None", "dp_method": "GMD"})
+    assert not reeval.spec_matches("None", {"gaze_method": "None", "dp_method": "GMD"})

@@ -46,7 +46,7 @@ def test_single_scenario_route_has_k1_shapes():
     assert spec.scenario_type.shape == (1,)
     assert spec.scen_aux.shape == (1, 4)
     assert spec.amb_clear.shape == (1, 2)
-    assert int(spec.walk_count) == 3 and int(spec.scen_walk_n[0]) == 3
+    assert int(spec.scen_walk_base[0]) == 0 and int(spec.scen_walk_n[0]) == 3
 
 
 def test_two_scenarios_both_trigger():
@@ -74,7 +74,7 @@ def test_walker_windows_are_disjoint():
     base = np.asarray(spec.scen_walk_base)
     cnt = np.asarray(spec.scen_walk_n)
     assert list(base) == [0, 3] and list(cnt) == [3, 1]
-    assert int(spec.walk_count) == 4
+    assert int(base[-1] + cnt[-1]) == 4
     # the second scenario's walker spawn spec landed past the first window
     assert float(np.linalg.norm(np.asarray(spec.walk_pos[3]))) > 0.0
 

@@ -255,3 +255,51 @@ def test_pallas_box_prefix_branches():
     cam_scalars, _, _ = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
     assert float(cam_scalars[15]) > 24
     _assert_kernel_matches_oracle(spec, st)
+
+
+def test_flowless_route_engages_tile6_prefix():
+    """With no enabled flow, the flow endpoint rows must NOT be force-ranked
+    into the sort front: the valid-row count stays <= ROUTE_VIEW so the
+    kernel's 128-row tile-6 prefix (its common case) engages, and the near
+    counts are not inflated by two phantom rows."""
+    wps = np.stack([np.arange(0.0, 200.0, 2.0), np.zeros(100)], 1).astype(np.float32)
+    spec = jax.tree.map(jnp.asarray, build_world_spec({
+        "id": 3, "town": "T", "waypoints": wps, "scenarios": [],
+        "weather": [0, 0, 0, 90]}, ambient=False))
+    env = DrivingEnv()
+    st = env.reset(spec, jax.random.PRNGKey(0))
+    cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
+    boxes = jnp.concatenate(
+        [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
+    )
+    weather = R.weather_now(spec, st)
+    cam_scalars, _, _ = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
+    assert not bool(spec.flow_enabled[0])
+    assert float(cam_scalars[14]) <= 128.0, cam_scalars[11:15]
+    _assert_kernel_matches_oracle(spec, st)
+
+
+def test_enabled_flow_still_forces_endpoints():
+    """With a live crossing flow the endpoint force-rank must survive: the
+    first flow row ranks into every prefix (key -0.6 < all thresholds)."""
+    wps = np.stack([np.arange(0.0, 200.0, 2.0), np.zeros(100)], 1).astype(np.float32)
+    spec = jax.tree.map(jnp.asarray, build_world_spec({
+        "id": 4, "town": "T", "waypoints": wps, "weather": [0, 0, 0, 90],
+        "scenarios": [{"type": "CrossingBicycleFlow", "trigger": (40.0, 0.0, 0.0),
+                       "start_actor_flow": (60.0, 30.0), "end_actor_flow": (60.0, -30.0),
+                       "flow_speed": 8.0, "source_dist_interval": (10.0, 20.0)}]},
+        ambient=False))
+    env = DrivingEnv()
+    st = env.reset(spec, jax.random.PRNGKey(0))
+    cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
+    boxes = jnp.concatenate(
+        [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
+    )
+    weather = R.weather_now(spec, st)
+    cam_scalars, cols, _ = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
+    assert bool(spec.flow_enabled[0])
+    # both forced flow endpoints rank inside every count
+    assert float(cam_scalars[11]) >= 4.0  # 2 route + 2 flow endpoints minimum
+    # a flow row (col6 >= ROUTE_VIEW) appears in the first handful of rows
+    head_ids = np.asarray(cols[:8, 6])
+    assert (head_ids >= R.ROUTE_VIEW).any()

@@ -125,7 +125,8 @@ def test_synthetic_compiles_and_runs(synth_path):
     state, xs = jax.lax.scan(body, state, None, length=40)
     assert np.isfinite(np.asarray(xs)).all()
     # crossing walkers are compiled in near the adversary's arclength
-    assert int(np.asarray(spec.walk_count)) == 3
+    wb, wn = np.asarray(spec.scen_walk_base), np.asarray(spec.scen_walk_n)
+    assert int(wb[-1] + wn[-1]) == 3
 
 
 def test_lane_position_gated(tmp_path):
@@ -208,7 +209,16 @@ def test_multi_adversary_storyboard(tmp_path):
     assert by_type["HardBreakRoute"]["distance"] == pytest.approx(30.0)
     spec = build_world_spec(route, ambient=False)
     assert spec.scenario_type.shape == (2,)
-    assert sorted(np.asarray(spec.scenario_type).tolist()) == [6, 12]
+    stypes = np.asarray(spec.scenario_type).tolist()
+    assert sorted(stypes) == [6, 12]
+    # the declared SpeedActions reach the compiled world: the lead cruises
+    # at its storyboard speed (scen_aux[k,1]), the walkers at theirs
+    k_lead = stypes.index(12)
+    assert float(spec.scen_aux[k_lead, 1]) == pytest.approx(7.5)
+    k_ped = stypes.index(6)
+    wb, wn = int(spec.scen_walk_base[k_ped]), int(spec.scen_walk_n[k_ped])
+    wspeeds = np.linalg.norm(np.asarray(spec.walk_vel)[wb:wb + wn], axis=1)
+    assert wspeeds.min() == pytest.approx(2.5, abs=1e-5)
 
 
 def test_trigger_condition_entityref_does_not_claim_group(tmp_path):
