@@ -132,6 +132,15 @@ def main() -> int:
     run_j = jax.jit(run)
     np.asarray(run_j(specs, params, keys))  # compile + warm (forced D2H:
     # block_until_ready can return early through the axon tunnel)
+    # GABRIL_BENCH_PROFILE=<dir>: capture a jax.profiler trace of the timed
+    # loop (ROADMAP perf item: the fused loop runs below the stage-isolated
+    # numbers; a real trace beats guessing). Off by default — tracing costs
+    # a few percent and writes files.
+    prof_dir = os.environ.get("GABRIL_BENCH_PROFILE", "")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            np.asarray(run_j(specs, params, keys))
+        print(f"bench: profiler trace written to {prof_dir}", file=sys.stderr)
     t0 = time.perf_counter()
     np.asarray(run_j(specs, params, keys))
     dt = time.perf_counter() - t0
