@@ -40,4 +40,15 @@ if [ -f "$OUT/rest42/report.json" ]; then
   mkdir -p "$OUT/rest/seed42"
   cp "$OUT/rest42/report.json" "$OUT/rest/seed42/report.json"
 fi
+
+# oracle-heat AGIL diagnostic on the FRESH core2 checkpoints (the round-3
+# post-suite leg was vacuous: the old suite checkpoints died with the
+# container). Isolates frozen-predictor quality from the AGIL method.
+for attempt in 1 2; do
+  timeout 3600 python -u examples/reeval.py --suite_dir "$OUT/core2" \
+    --only AGIL --oracle_heat --out_name report_oracleheat.json \
+    >> "$OUT/oracleheat2.log" 2>&1 && { echo "oracleheat2 OK"; break; }
+  echo "oracleheat2 attempt $attempt failed (rc=$?)" | tee -a "$OUT/oracleheat2.log"
+  sleep 420
+done
 echo REANCHOR DONE
