@@ -109,10 +109,27 @@ def main() -> int:
             os.environ["GABRIL_FORCE_XLA_RENDER"] = "1"
             fallback = "+xla_render_fallback"
 
+    # Differential stage timing (ROADMAP perf item): the single-stage scans
+    # overstate per-stage throughput because XLA hoists loop-invariant work,
+    # so stage shares are measured by SUBTRACTION on the full fused loop:
+    #   GABRIL_BENCH_SKIP_POLICY=1  render+step only (constant action)
+    #   GABRIL_BENCH_SKIP_RENDER=1  policy+step only (frame = state-seeded fill)
+    # Skip modes tag "mode" in the JSON so they can never pass as the
+    # official number (the driver runs bench.py with a clean env).
+    skip_policy = bool(os.environ.get("GABRIL_BENCH_SKIP_POLICY"))
+    skip_render = bool(os.environ.get("GABRIL_BENCH_SKIP_RENDER"))
+
     def one_world_step(spec, state, frames, params):
-        frame = render_frame(spec, state)
+        if skip_render:
+            # data-dependent fill keeps the frame un-hoistable and un-DCE-able
+            frame = jnp.full((180, 320), jnp.sum(state.ego.pos) * 1e-6)
+        else:
+            frame = render_frame(spec, state)
         frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
-        action = policy(params, frames[None])[0]
+        if skip_policy:
+            action = jnp.array([0.3, 0.0, 0.0]) + 1e-9 * frames[0, 0, 0]
+        else:
+            action = policy(params, frames[None])[0]
         state = env.step(spec, state, action)
         return state, frames
 
@@ -153,7 +170,9 @@ def main() -> int:
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 20.0, 1),
-                "mode": mode + fallback,
+                "mode": mode + fallback
+                + ("+skip_policy" if skip_policy else "")
+                + ("+skip_render" if skip_render else ""),
             }
         )
     )
