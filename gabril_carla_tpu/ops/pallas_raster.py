@@ -46,14 +46,13 @@ CAM_Z = 1.6
 MAX_DEPTH = 120.0
 SKY, GRASS, ROAD, MARK = 0.62, 0.42, 0.24, 0.85
 
-BLOCK_ROWS = 32
+BLOCK_ROWS = 32  # default tile height; see render_frame_pallas(block_rows=...)
 LANES = 128
 N_PIX = H * W  # 57600
 ROWS_PAD = 512  # 512 * 128 = 65536 >= N_PIX
-GRID = ROWS_PAD // BLOCK_ROWS
 # ground rows are v in [91, 179] (89 rows); bottom-first they occupy
-# flat < 89*320 = 28480 < 7 tiles of 4096 px
-GROUND_TILES = -(-(H - 1 - 90) * W // (BLOCK_ROWS * LANES))
+# flat < 89*320 = 28480 px — the kernel derives its ground-tile count and
+# depth-class tile boundaries from block_rows
 
 # Per-tile terrain-loop prefixes over the distance-SORTED route/flow rows
 # (raster.NEAR_THR2 derivation).  Tile pairs (0,1), (2,3), (4,5) see ground
@@ -67,8 +66,8 @@ LANE_WIDTH = 3.5
 
 
 def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
-                   n_actors: int, view_route: int):
-    """One [BLOCK_ROWS, LANES] tile of the frame.
+                   n_actors: int, view_route: int, block_rows: int = BLOCK_ROWS):
+    """One [block_rows, LANES] tile of the frame.
 
     cam_ref:   [16, 1]  camera basis + weather scalars + per-threshold row
                counts (slots 11-14) in the camera-relative frame
@@ -77,11 +76,19 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
                rows with j >= view_route are scenario-flow points —
                crossing-road surfaces, no markings
     boxes_ref: [n_actors, 8] columns: u0 u1 v0 v1 depth color valid pad
+
+    block_rows parameterizes the tile height (default 32): larger tiles
+    mean fewer grid steps (less per-invocation overhead) but coarser
+    depth-prefix classes — a tile spanning a class boundary takes the
+    deeper class's prefix, and the last ground tile may carry sky pixels
+    through the route loop. The class boundaries (pixel offsets 8192 /
+    16384 / 24576, from raster.NEAR_THR2) stay fixed, so any power-of-two
+    block size maps exactly onto them.
     """
     i = pl.program_id(0)
-    base = i * BLOCK_ROWS * LANES
-    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 1).astype(jnp.float32)
+    base = i * block_rows * LANES
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1).astype(jnp.float32)
     flat = base + row * LANES + lane
     r = jnp.floor(flat / W)  # 0 = bottom image row
     u = flat - r * W
@@ -124,8 +131,8 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
             jnp.where(upd, route_ref[k, 6], bj),
         )
 
-    zero = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
-    init = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32),
+    zero = jnp.zeros((block_rows, LANES), jnp.float32)
+    init = (jnp.full((block_rows, LANES), 1e30, jnp.float32),
             zero, zero, zero, zero)
 
     def run_to(n, unroll):
@@ -138,8 +145,17 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
     # unrolled variant would pay its code size on every tile
     rolled_full = run_to(view, 1)
 
+    # class boundaries in tile indices for this block size: tile i is in
+    # class k iff its END pixel fits under the k-th pixel boundary; a tile
+    # past every boundary takes the valid-row class. With bpx=4096 these
+    # are the original (2, 4, 6); at 8192 they become (1, 2, 3); at 16384
+    # class0 is empty (t0=0, its cond is never true) and tile 0 takes n1.
+    bpx = block_rows * LANES
+    t0, t1, t2 = 8192 // bpx, 16384 // bpx, 24576 // bpx
+    ground_tiles = -(-(H - 1 - 90) * W // bpx)
+
     def ground_loop(_):
-        # tile pairs share a prefix class; counts validate the static prefix
+        # tiles share a prefix class; counts validate the static prefix
         # (nested conds — the proven scalar control flow on this toolchain)
         n0, n1, n2 = NEAR_PREFIX
 
@@ -159,18 +175,18 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
                                 run_to(view, True), 0)
 
         return jax.lax.cond(
-            i < 2, class0,
+            i < t0, class0,
             lambda _: jax.lax.cond(
-                i < 4, class1,
-                lambda __: jax.lax.cond(i < 6, class2, class3, 0), 0),
+                i < t1, class1,
+                lambda __: jax.lax.cond(i < t2, class2, class3, 0), 0),
             0)
 
     def sky_loop(_):
         return zero, zero, zero, zero
 
     # sky-only tiles skip the route loop entirely (bottom-first layout packs
-    # every ground pixel into the first GROUND_TILES tiles)
-    bdx, bdy, be3, bj = jax.lax.cond(i < GROUND_TILES, ground_loop, sky_loop, 0)
+    # every ground pixel into the first ground_tiles tiles)
+    bdx, bdy, be3, bj = jax.lax.cond(i < ground_tiles, ground_loop, sky_loop, 0)
     # lateral solve deferred out of the loop: positive = driver's left
     signed = bdy * gx - bdx * gy + be3
     near_s = start_s + bj
@@ -212,7 +228,7 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
         inside = (u >= u0) & (u <= u1) & (v >= v0) & (v <= v1) & (ok > 0.5) & (d < best_d)
         return jnp.where(inside, d, best_d), jnp.where(inside, c, best_c)
 
-    binit = (jnp.full((BLOCK_ROWS, LANES), 1e30, jnp.float32), zero)
+    binit = (jnp.full((block_rows, LANES), 1e30, jnp.float32), zero)
     # valid rows lead the depth-sorted compacted list (cam slot 15 counts
     # them), so a count-gated prefix is exact — rows past the count carry
     # ok=0 and can never paint
@@ -236,9 +252,11 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
     img_ref[:] = jnp.where(in_frame, jnp.clip(img, 0.0, 1.0), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("view", "n_actors", "view_route", "interpret"))
+@functools.partial(jax.jit, static_argnames=("view", "n_actors", "view_route", "interpret",
+                                             "block_rows"))
 def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actors: int,
-                        view_route: int = 128, interpret: bool = False):
+                        view_route: int = 128, interpret: bool = False,
+                        block_rows: int = BLOCK_ROWS):
     """cam_scalars [16], route_cols [view, 8], actor_boxes [n_actors, 8]
     -> grayscale frame [H, W] in [0, 1].
 
@@ -246,13 +264,16 @@ def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actor
     + flow columns, compacted box list); view_route = number of leading
     ego-route entries (the rest are scenario-flow road points).
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU CI
-    parity tests vs the XLA oracle in raster.py)."""
+    parity tests vs the XLA oracle in raster.py). ``block_rows`` (32/64/128)
+    trades grid-dispatch count against depth-prefix granularity — outputs
+    are identical for any value (parity-tested)."""
+    assert ROWS_PAD % block_rows == 0 and 8192 % (block_rows * LANES) in (0, 8192)
     kernel = functools.partial(_render_kernel, view=view, n_actors=n_actors,
-                               view_route=view_route)
+                               view_route=view_route, block_rows=block_rows)
     img = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(GRID,),
+        grid=(ROWS_PAD // block_rows,),
         in_specs=[
             # scalars in SMEM: the route/actor loops issue one scalar load per
             # iteration — VMEM scalar reads stall the VPU
@@ -260,7 +281,7 @@ def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actor
             pl.BlockSpec((view, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((n_actors, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS_PAD, LANES), jnp.float32),
     )(
         cam_scalars.reshape(16, 1).astype(jnp.float32),

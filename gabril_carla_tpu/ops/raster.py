@@ -345,12 +345,15 @@ def render_frame(spec, state) -> jnp.ndarray:
     weather = weather_now(spec, state)
 
     if jax.default_backend() == "tpu" and not _os.environ.get("GABRIL_FORCE_XLA_RENDER"):
-        from .pallas_raster import render_frame_pallas
+        from .pallas_raster import BLOCK_ROWS, render_frame_pallas
 
         cam_scalars, cols, cboxes = _pallas_inputs(spec, state, cam, fwd, right,
                                                    boxes, weather)
+        # GABRIL_RENDER_BLOCK=64/128: fatter tiles, fewer grid steps (perf
+        # experiment knob, read at trace time; outputs are parity-identical)
+        block = int(_os.environ.get("GABRIL_RENDER_BLOCK", BLOCK_ROWS))
         return render_frame_pallas(cam_scalars, cols, cboxes, cols.shape[0],
-                                   cboxes.shape[0], ROUTE_VIEW)
+                                   cboxes.shape[0], ROUTE_VIEW, block_rows=block)
 
     return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather)
 

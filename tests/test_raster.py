@@ -38,7 +38,7 @@ def test_pallas_kernel_matches_xla_oracle():
     _assert_kernel_matches_oracle(spec, st)
 
 
-def _assert_kernel_matches_oracle(spec, st):
+def _assert_kernel_matches_oracle(spec, st, block_rows=32):
     cam, fwd, right = R._camera_basis(st.ego.pos, st.ego.yaw)
     boxes = jnp.concatenate(
         [R._collect_actor_boxes(st, cam, fwd, right), R._signal_boxes(spec, st, cam, fwd, right)]
@@ -51,12 +51,23 @@ def _assert_kernel_matches_oracle(spec, st):
     cam_scalars, route_cols, cboxes = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
     img = np.asarray(
         render_frame_pallas(cam_scalars, route_cols, cboxes, route_cols.shape[0],
-                            cboxes.shape[0], R.ROUTE_VIEW, interpret=True)
+                            cboxes.shape[0], R.ROUTE_VIEW, interpret=True,
+                            block_rows=block_rows)
     )
     d = np.abs(img - oracle)
     # tie-breaking at dash/edge boundaries flips a handful of pixels
     assert (d > 1e-3).mean() < 0.01
     assert np.median(d) < 1e-5
+
+
+def test_pallas_kernel_block_rows_parity():
+    """Fatter tiles (64/128 rows) keep output parity: depth-class tile
+    boundaries realign (a boundary-spanning tile takes the deeper class's
+    prefix) and the last ground tile drags sky pixels through the route
+    loop without affecting them."""
+    spec, st = scene()
+    for block in (64, 128):
+        _assert_kernel_matches_oracle(spec, st, block_rows=block)
 
 
 def _weather_spec(spec, cloud, precip, fog, sun, wet):
