@@ -27,4 +27,7 @@ run full_512 512 200
 run skip_policy_256 256 400 GABRIL_BENCH_SKIP_POLICY=1
 run skip_render_256 256 400 GABRIL_BENCH_SKIP_RENDER=1
 run skip_both_256 256 400 GABRIL_BENCH_SKIP_POLICY=1 GABRIL_BENCH_SKIP_RENDER=1
+# kernel tile-height A/B (a5938df): fewer grid steps vs coarser prefixes
+run block64_256 256 400 GABRIL_RENDER_BLOCK=64
+run block128_256 256 400 GABRIL_RENDER_BLOCK=128
 echo PERF PROBE DONE
