@@ -118,6 +118,16 @@ class Trainer:
         save_interval = cfg.get_path("training.save_interval", 50)
         bs = cfg.data["batch_size"]
         last = {}
+        # The frozen gaze predictor keeps its BEST epoch, not its last: at
+        # batch 128 a clipped-but-hot step can still blow the MSE head into
+        # a constant predictor mid-run (loss jumps to the target variance
+        # and pins there — observed seed-dependent, results_r3/core2.log
+        # seed 42 epoch 10), and every heat-consuming method downstream
+        # (AGIL/ViSaRL/Mask/GMD/IGMD) then evaluates against degenerate
+        # heat. BC/VQ modes keep last-epoch semantics (the reference's
+        # protocol for the policy itself).
+        keep_best = self.mode == "gaze"
+        best_loss, best_params, best_epoch = float("inf"), None, -1
         for epoch in range(epochs):
             if self.device_mode:
                 with self.timer.stage("epoch"):
@@ -152,8 +162,20 @@ class Trainer:
                 f"epoch {epoch + 1}/{epochs}: " + ", ".join(f"{k}={v:.5f}" for k, v in avg.items())
             )
             last = avg
+            if keep_best and avg.get("loss", float("inf")) < best_loss:
+                best_loss, best_epoch = avg["loss"], epoch + 1
+                # host copy: donated train steps invalidate old device buffers
+                best_params = jax.device_get(self.state.params)
             if (epoch + 1) % save_interval == 0 or (epoch + 1) == epochs:
                 self.save(epoch + 1)
+        if keep_best and best_params is not None and best_epoch != epochs:
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, best_params))
+            self.save(epochs)  # final checkpoint holds the kept-best params
+            self.logger.print(
+                f"kept best epoch {best_epoch} (loss {best_loss:.5f}) over "
+                f"final epoch ({last.get('loss', float('nan')):.5f})")
+            last = {**last, "loss": best_loss, "kept_best_epoch": best_epoch}
         return last
 
     def _revive_dead_codes(self, epoch: int) -> int:
