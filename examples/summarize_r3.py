@@ -87,6 +87,21 @@ def main(root="results_r3"):
     def mean_seen(data, m):
         return float(np.mean(data[m]["seen"])) if m in data and data[m]["seen"] else None
 
+    # degradation seed extension (examples/degradation_seeds_r3.sh): extra
+    # None/Reg@0.3 seeds sharpening the noisiest check — pool them into the
+    # degradation comparison when present
+    deg_clean, deg_conf = collect(root, "deg_clean"), collect(root, "deg_conf")
+    pooled_c = pooled_f = None
+    if deg_clean and core2:
+        pooled_c = {m: {k: core2[m][k] + deg_clean.get(m, {k: []})[k] for k in ("seen", "unseen")}
+                    for m in ("None", "Reg@0.3")}
+        pooled_f = {m: {k: conf2[m][k] + deg_conf.get(m, {k: []})[k] for k in ("seen", "unseen")}
+                    for m in ("None", "Reg@0.3")}
+        table(pooled_c, "Degradation cells POOLED (core2 + deg_clean)")
+        table(pooled_f, "Degradation cells POOLED confounded (conf2 + deg_conf)")
+        n_pool = len(pooled_c["None"]["seen"])
+        print(f"\n(degradation comparison pooled over {n_pool} seeds per cell)")
+
     print(f"\nOrdering parity vs the reference's published tables ({label}):")
     checks = []
     core, conf = core_checks, conf_checks
@@ -99,7 +114,11 @@ def main(root="results_r3"):
     if None not in (gril, bc):
         checks.append(("GRIL within 0.6x..1.2x BC (Original.csv: 50.1 vs 47.8)",
                        0.6 * bc <= gril <= 1.2 * bc))
-    cgab, cbc = mean_seen(conf, "Reg@0.3"), mean_seen(conf, "None")
+    if pooled_c is not None:
+        gab, bc = mean_seen(pooled_c, "Reg@0.3"), mean_seen(pooled_c, "None")
+        cgab, cbc = mean_seen(pooled_f, "Reg@0.3"), mean_seen(pooled_f, "None")
+    else:
+        cgab, cbc = mean_seen(conf, "Reg@0.3"), mean_seen(conf, "None")
     if None not in (cgab, cbc):
         checks.append(("GABRIL > BC confounded (Confounded.csv: 44.7 > 32.8)", cgab > cbc))
         if None not in (gab, bc):
