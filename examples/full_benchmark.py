@@ -130,13 +130,10 @@ def main():
     # (road fixation every frame) saturates at 25% of frames. This keeps one
     # top-hazard fixation per frame and drops ~35% of frames entirely.
     if args.sparse_gaze:
+        from gabril_carla_tpu.data.gaze_stats import sparsify_gaze_coords
+
         store.finalize()
-        g = store.flat_gazes  # [T, P*2]
-        sparse = np.full_like(g, -1.0)
-        sparse[:, 0:2] = g[:, 2:4]  # top-hazard actor; road point dropped
-        rng_sp = np.random.default_rng(123)
-        sparse[rng_sp.random(len(g)) < 0.35] = -1.0
-        g[:] = sparse
+        g = sparsify_gaze_coords(store.flat_gazes)  # [T, P*2], in place
         valid = (g[:, 0] >= 0).mean()
         print(f"[sparse_gaze] {100*valid:.0f}% of frames keep one fixation", flush=True)
 

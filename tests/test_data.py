@@ -105,3 +105,30 @@ def test_lazy_hdf5_matches_eager(tmp_path):
     be, bl = ds_e.sample(idxs), ds_l.sample(idxs)
     for k in be:
         np.testing.assert_array_equal(be[k], bl[k])
+
+
+def test_sparsify_gaze_coords_statistics():
+    """Human-statistics transform: one fixation per kept frame, road point
+    dropped, blank_frac of frames fully invalid, deterministic under seed."""
+    import numpy as np
+
+    from gabril_carla_tpu.data.gaze_stats import sparsify_gaze_coords
+
+    rng = np.random.default_rng(0)
+    t, p = 4000, 5
+    dense = rng.random((t, p * 2)).astype(np.float32)  # all-valid analytic gaze
+    road = dense[:, 0:2].copy()
+    hazard = dense[:, 2:4].copy()
+
+    out = sparsify_gaze_coords(dense.copy(), blank_frac=0.35, seed=123)
+    kept = out[:, 0] >= 0
+    # kept frames carry exactly the top-hazard point in slot 0, -1 elsewhere
+    assert np.allclose(out[kept, 0:2], hazard[kept])
+    assert np.all(out[:, 2:] == -1.0)
+    # the road fixation never survives
+    assert not np.allclose(out[kept, 0:2], road[kept])
+    # blank fraction within binomial noise of the target
+    assert abs(kept.mean() - 0.65) < 0.03
+    # deterministic: same seed -> same mask
+    out2 = sparsify_gaze_coords(dense.copy(), blank_frac=0.35, seed=123)
+    assert np.array_equal(out, out2)
