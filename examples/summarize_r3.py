@@ -137,6 +137,26 @@ def main(root="results_r3"):
                        vals[-1] > vals[0]))
     for name, ok in checks:
         print(f"  [{'x' if ok else ' '}] {name}")
+
+    # unseen-side orderings (informational — kept separate so the headline
+    # seven stay comparable across rounds)
+    def mean_unseen(data, m):
+        return float(np.mean(data[m]["unseen"])) if m in data and data[m]["unseen"] else None
+
+    ugab, uagil, ubc = (mean_unseen(core, k) for k in ("Reg@0.3", "AGIL", "None"))
+    ucgab, ucbc = mean_unseen(conf_checks, "Reg@0.3"), mean_unseen(conf_checks, "None")
+    unseen_checks = []
+    if None not in (ugab, ubc):
+        unseen_checks.append(("GABRIL > BC unseen (Original.csv: 30.2 > 12.2)", ugab > ubc))
+    if None not in (uagil, ubc):
+        unseen_checks.append(("AGIL > BC unseen (Original.csv: 28.7 > 12.2)", uagil > ubc))
+    if None not in (ucgab, ucbc):
+        unseen_checks.append(("GABRIL > BC confounded unseen (Confounded.csv: 26.8 > 8.8)",
+                              ucgab > ucbc))
+    if unseen_checks:
+        print("Unseen-side orderings (informational):")
+        for name, ok in unseen_checks:
+            print(f"  [{'x' if ok else ' '}] {name}")
     return 0
 
 
