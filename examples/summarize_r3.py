@@ -101,6 +101,23 @@ def main(root="results_r3"):
         table(pooled_f, "Degradation cells POOLED confounded (conf2 + deg_conf)")
         n_pool = len(pooled_c["None"]["seen"])
         print(f"\n(degradation comparison pooled over {n_pool} seeds per cell)")
+        # paired-by-seed view: clean and confounded runs share training
+        # seeds (42..44 re-anchor, 45..47 extension), so the relative
+        # degradation is a per-seed quantity — report the pairs and the
+        # sign count (more power than comparing pooled means)
+        n_pair = min(len(pooled_c["None"]["seen"]), len(pooled_f["None"]["seen"]),
+                     len(pooled_c["Reg@0.3"]["seen"]), len(pooled_f["Reg@0.3"]["seen"]))
+        if n_pair >= 3:
+            rel = {}
+            for m in ("None", "Reg@0.3"):
+                cl = np.asarray(pooled_c[m]["seen"][:n_pair])
+                cf = np.asarray(pooled_f[m]["seen"][:n_pair])
+                rel[m] = (cl - cf) / np.maximum(cl, 1e-6)
+            wins = int(np.sum(rel["None"] > rel["Reg@0.3"]))
+            print(f"per-seed relative degradation (clean->confounded, {n_pair} paired seeds):")
+            print("  BC    : " + " ".join(f"{v:+.0%}" for v in rel["None"]))
+            print("  GABRIL: " + " ".join(f"{v:+.0%}" for v in rel["Reg@0.3"]))
+            print(f"  BC degrades more in {wins}/{n_pair} seed pairs")
 
     print(f"\nOrdering parity vs the reference's published tables ({label}):")
     checks = []
