@@ -90,12 +90,32 @@ def main(root="results_r3"):
     # degradation seed extension (examples/degradation_seeds_r3.sh): extra
     # None/Reg@0.3 seeds sharpening the noisiest check — pool them into the
     # degradation comparison when present
-    deg_clean, deg_conf = collect(root, "deg_clean"), collect(root, "deg_conf")
+    def collect_deg(sub):
+        """Degradation-cell collection: when examples/extra_evalseeds_r3.sh
+        has added a report_evalseeds23.json (eval seeds 402/403) next to a
+        report.json (400/401), average the two 20-rollout means into one
+        40-rollout per-seed sample."""
+        data = defaultdict(lambda: {"seen": [], "unseen": []})
+        for rep_path in sorted((root / sub).glob("**/report.json")):
+            rep = json.loads(rep_path.read_text())
+            extra_path = rep_path.with_name("report_evalseeds23.json")
+            extra = (json.loads(extra_path.read_text()).get("methods", {})
+                     if extra_path.exists() else {})
+            for m, d in rep.get("methods", {}).items():
+                for k in ("seen", "unseen"):
+                    v = d[k]
+                    if m in extra:
+                        v = 0.5 * (v + extra[m][k])
+                    data[m][k].append(v)
+        return data
+
+    deg_clean, deg_conf = collect_deg("deg_clean"), collect_deg("deg_conf")
     pooled_c = pooled_f = None
     if deg_clean and core2:
-        pooled_c = {m: {k: core2[m][k] + deg_clean.get(m, {k: []})[k] for k in ("seen", "unseen")}
+        core2x, conf2x = collect_deg("core2"), collect_deg("conf2")
+        pooled_c = {m: {k: core2x[m][k] + deg_clean.get(m, {k: []})[k] for k in ("seen", "unseen")}
                     for m in ("None", "Reg@0.3")}
-        pooled_f = {m: {k: conf2[m][k] + deg_conf.get(m, {k: []})[k] for k in ("seen", "unseen")}
+        pooled_f = {m: {k: conf2x[m][k] + deg_conf.get(m, {k: []})[k] for k in ("seen", "unseen")}
                     for m in ("None", "Reg@0.3")}
         table(pooled_c, "Degradation cells POOLED (core2 + deg_clean)")
         table(pooled_f, "Degradation cells POOLED confounded (conf2 + deg_conf)")
