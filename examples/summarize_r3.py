@@ -194,6 +194,22 @@ def main(root="results_r3"):
         print("Unseen-side orderings (informational):")
         for name, ok in unseen_checks:
             print(f"  [{'x' if ok else ' '}] {name}")
+
+    # GRIL under human-statistics sparse gaze (examples/post_deg_r3.sh):
+    # tests the attribution for the GRIL ordering miss — regressing the
+    # noiseless dense analytic gaze is too easy, so GRIL over-performs;
+    # under the sparse top-hazard stream it should fall into the
+    # reference's band vs the same-cache BC anchor (gaze-free BC is
+    # identical under either gaze variant).
+    grilsparse = collect(root, "grilsparse")
+    if grilsparse and bc is not None:
+        gs, gss, n = stat(grilsparse["GRIL"]["seen"])
+        dense = mean_seen(core, "GRIL")
+        print(f"\nGRIL under sparse gaze: {gs:.1f} ± {gss:.1f} seen ({n} seeds; "
+              f"dense-gaze GRIL {dense:.1f}, BC anchor {bc:.1f})")
+        ok = 0.6 * bc <= gs <= 1.2 * bc
+        print(f"  [{'x' if ok else ' '}] GRIL-sparse within 0.6x..1.2x BC "
+              f"(ratio {gs / bc:.2f}; dense ratio {dense / bc:.2f})")
     return 0
 
 
