@@ -17,13 +17,15 @@ OUT=${1:-results_r3}
 run() { # run <label> <args...>
   local label=$1; shift
   timeout 7200 python -u examples/reeval.py --eval_seeds 402 403 \
-    --methods None Reg@0.3 --out_name report_evalseeds23.json "$@" \
+    --out_name report_evalseeds23.json "$@" \
     >> "$OUT/extra_evalseeds.log" 2>&1 \
     && echo "extra-eval $label OK" || echo "extra-eval $label FAILED (rc=$?)"
 }
 
-run core2     --suite_dir "$OUT/core2"
-run conf2     --suite_dir "$OUT/conf2" --confounded
-run deg_clean --suite_dir "$OUT/deg_clean"
-run deg_conf  --suite_dir "$OUT/deg_conf" --confounded
+# core2 also re-evals AGIL: its clean margin over BC (52.0 vs 46.4 at
+# 20 rollouts/seed) is the thinnest passing ordering
+run core2     --suite_dir "$OUT/core2" --methods None Reg@0.3 AGIL
+run conf2     --suite_dir "$OUT/conf2" --confounded --methods None Reg@0.3
+run deg_clean --suite_dir "$OUT/deg_clean" --methods None Reg@0.3
+run deg_conf  --suite_dir "$OUT/deg_conf" --confounded --methods None Reg@0.3
 echo "EXTRA EVALSEEDS DONE"
