@@ -25,9 +25,18 @@ def collect(root: Path, sub: str):
         # checkpoints under the final criteria code) when present
         reeval = rep_path.with_name("report_reeval.json")
         rep = json.loads((reeval if reeval.exists() else rep_path).read_text())
+        # extra eval seeds (examples/extra_evalseeds_r3.sh, eval seeds
+        # 402/403): average the two 20-rollout means into one 40-rollout
+        # per-seed sample for whichever methods were re-evaluated
+        extra_path = rep_path.with_name("report_evalseeds23.json")
+        extra = (json.loads(extra_path.read_text()).get("methods", {})
+                 if extra_path.exists() else {})
         for m, d in rep.get("methods", {}).items():
-            data[m]["seen"].append(d["seen"])
-            data[m]["unseen"].append(d["unseen"])
+            for k in ("seen", "unseen"):
+                v = d[k]
+                if m in extra:
+                    v = 0.5 * (v + extra[m][k])
+                data[m][k].append(v)
     return data
 
 
@@ -66,9 +75,11 @@ def main(root="results_r3"):
     core2 = collect(root, "core2")
     conf2 = collect(root, "conf2")
     if core2:
-        for m, d in collect(root, "rest").items():  # rest is on the fresh cache
-            core2[m]["seen"] += d["seen"]
-            core2[m]["unseen"] += d["unseen"]
+        # rest + the AGIL seed extension run on the same fresh cache
+        for extra2 in ("rest", "agil_seeds"):
+            for m, d in collect(root, extra2).items():
+                core2[m]["seen"] += d["seen"]
+                core2[m]["unseen"] += d["unseen"]
         table(core2, "Clean core — FINAL-SEMANTICS RE-ANCHOR (core2 + rest)")
         table(conf2, "CONFOUNDED — FINAL-SEMANTICS RE-ANCHOR (conf2)")
         core_checks, conf_checks = core2, conf2
@@ -90,32 +101,12 @@ def main(root="results_r3"):
     # degradation seed extension (examples/degradation_seeds_r3.sh): extra
     # None/Reg@0.3 seeds sharpening the noisiest check — pool them into the
     # degradation comparison when present
-    def collect_deg(sub):
-        """Degradation-cell collection: when examples/extra_evalseeds_r3.sh
-        has added a report_evalseeds23.json (eval seeds 402/403) next to a
-        report.json (400/401), average the two 20-rollout means into one
-        40-rollout per-seed sample."""
-        data = defaultdict(lambda: {"seen": [], "unseen": []})
-        for rep_path in sorted((root / sub).glob("**/report.json")):
-            rep = json.loads(rep_path.read_text())
-            extra_path = rep_path.with_name("report_evalseeds23.json")
-            extra = (json.loads(extra_path.read_text()).get("methods", {})
-                     if extra_path.exists() else {})
-            for m, d in rep.get("methods", {}).items():
-                for k in ("seen", "unseen"):
-                    v = d[k]
-                    if m in extra:
-                        v = 0.5 * (v + extra[m][k])
-                    data[m][k].append(v)
-        return data
-
-    deg_clean, deg_conf = collect_deg("deg_clean"), collect_deg("deg_conf")
+    deg_clean, deg_conf = collect(root, "deg_clean"), collect(root, "deg_conf")
     pooled_c = pooled_f = None
     if deg_clean and core2:
-        core2x, conf2x = collect_deg("core2"), collect_deg("conf2")
-        pooled_c = {m: {k: core2x[m][k] + deg_clean.get(m, {k: []})[k] for k in ("seen", "unseen")}
+        pooled_c = {m: {k: core2[m][k] + deg_clean.get(m, {k: []})[k] for k in ("seen", "unseen")}
                     for m in ("None", "Reg@0.3")}
-        pooled_f = {m: {k: conf2x[m][k] + deg_conf.get(m, {k: []})[k] for k in ("seen", "unseen")}
+        pooled_f = {m: {k: conf2[m][k] + deg_conf.get(m, {k: []})[k] for k in ("seen", "unseen")}
                     for m in ("None", "Reg@0.3")}
         table(pooled_c, "Degradation cells POOLED (core2 + deg_clean)")
         table(pooled_f, "Degradation cells POOLED confounded (conf2 + deg_conf)")
