@@ -116,8 +116,20 @@ def main() -> int:
     #   GABRIL_BENCH_SKIP_RENDER=1  policy+step only (frame = state-seeded fill)
     # Skip modes tag "mode" in the JSON so they can never pass as the
     # official number (the driver runs bench.py with a clean env).
-    skip_policy = bool(os.environ.get("GABRIL_BENCH_SKIP_POLICY"))
-    skip_render = bool(os.environ.get("GABRIL_BENCH_SKIP_RENDER"))
+    def _flag(name):  # '0'/'false'/'' all mean off (ADVICE r3)
+        return os.environ.get(name, "0").lower() not in ("", "0", "false", "no")
+
+    skip_policy = _flag("GABRIL_BENCH_SKIP_POLICY")
+    skip_render = _flag("GABRIL_BENCH_SKIP_RENDER")
+    # A non-default render block size is a perf probe, not the official
+    # config — reflect it in the mode tag so its JSON can't pass as official.
+    block_env = os.environ.get("GABRIL_RENDER_BLOCK", "")
+    block_tag = ""
+    if block_env:
+        from gabril_carla_tpu.ops.pallas_raster import BLOCK_ROWS
+
+        if int(block_env) != BLOCK_ROWS:
+            block_tag = f"+block{int(block_env)}"
 
     def one_world_step(spec, state, frames, params):
         if skip_render:
@@ -170,7 +182,7 @@ def main() -> int:
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 20.0, 1),
-                "mode": mode + fallback
+                "mode": mode + fallback + block_tag
                 + ("+skip_policy" if skip_policy else "")
                 + ("+skip_render" if skip_render else ""),
             }

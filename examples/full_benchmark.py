@@ -133,9 +133,15 @@ def main():
         from gabril_carla_tpu.data.gaze_stats import sparsify_gaze_coords
 
         store.finalize()
-        g = sparsify_gaze_coords(store.flat_gazes)  # [T, P*2], in place
+        # Dropout mask seeded from the first training seed: the sparse gaze
+        # is a dataset-level artifact (like one recorded eye-tracker session)
+        # shared by the seeds of THIS run, but distinct across suite
+        # invocations with different seed lists (ADVICE r3: don't reuse one
+        # fixed pattern for every variant).
+        g = sparsify_gaze_coords(store.flat_gazes, seed=args.train_seed[0])
         valid = (g[:, 0] >= 0).mean()
-        print(f"[sparse_gaze] {100*valid:.0f}% of frames keep one fixation", flush=True)
+        print(f"[sparse_gaze] {100*valid:.0f}% of frames keep one fixation "
+              f"(mask seed {args.train_seed[0]})", flush=True)
 
     # ---------- 1a. confounded variant: overlay recorded actions onto frames
     if args.confounded:

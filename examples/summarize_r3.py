@@ -193,9 +193,9 @@ def main(root="results_r3"):
     # reference's band vs the same-cache BC anchor (gaze-free BC is
     # identical under either gaze variant).
     grilsparse = collect(root, "grilsparse")
-    if grilsparse and bc is not None:
+    dense = mean_seen(core, "GRIL") if grilsparse else None
+    if grilsparse and bc is not None and dense is not None:
         gs, gss, n = stat(grilsparse["GRIL"]["seen"])
-        dense = mean_seen(core, "GRIL")
         print(f"\nGRIL under sparse gaze: {gs:.1f} ± {gss:.1f} seen ({n} seeds; "
               f"dense-gaze GRIL {dense:.1f}, BC anchor {bc:.1f})")
         ok = 0.6 * bc <= gs <= 1.2 * bc

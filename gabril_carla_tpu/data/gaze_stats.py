@@ -52,6 +52,10 @@ def sparsify_gaze_coords(
     fixation_slice: columns of the one fixation to keep (default: the
            top-hazard actor, coords 2:4).
     blank_frac: fraction of frames blanked to -1 entirely (tracker dropout).
+    seed: RNG seed for the dropout mask. Callers should thread a
+           run-specific seed (e.g. the dataset or training seed) so suite
+           variants don't all share one dropout pattern; the default only
+           keeps single-call usage deterministic.
 
     Returns the same array (mutated) for chaining.
     """
