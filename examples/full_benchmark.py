@@ -209,11 +209,26 @@ def run_seed(train_seed, args, out, store, shared_dd, expert_agg, n_frames,
     report = {"expert_seen_mean": expert_agg["mean"], "n_frames": n_frames,
               "confounded": args.confounded, "train_seed": train_seed, "methods": {}}
 
+    # Suite-level resume: report.json is written after every completed cell,
+    # so a relay death / preemption retry skips finished (method, seed)
+    # cells instead of retraining them. A cell is only present in the report
+    # once its train + both eval splits completed.
+    report_path = out / "report.json"
+    if report_path.exists():
+        old = json.loads(report_path.read_text())
+        if (old.get("confounded") == args.confounded
+                and old.get("train_seed") == train_seed):
+            report["methods"].update(old.get("methods", {}))
+            done = [m for m in args.methods if m in report["methods"]]
+            if done:
+                print(f"[resume] skipping finished cells: {done}", flush=True)
+    todo = [m for m in args.methods if m not in report["methods"]]
+
     # ---------- 1b. frozen gaze predictor for heat-needing methods
     # (train_gaze_predictor.py -> bc_agent.py:83-94 protocol)
     needs_gp = any(
         parse_core(m)[0] in ("Mask", "ViSaRL", "AGIL") or parse_core(m)[1] in ("GMD", "IGMD")
-        for m in args.methods
+        for m in todo
     )
     gp_apply, gp_params = None, None
     if needs_gp:
@@ -237,7 +252,7 @@ def run_seed(train_seed, args, out, store, shared_dd, expert_agg, n_frames,
 
     # ---------- 1c. VQ-VAE pretraining when any method uses Oreo dropout
     vqvae_path = ""
-    if any(":" in m and m.split("@")[0].split(":")[1] == "Oreo" for m in args.methods):
+    if any(":" in m and m.split("@")[0].split(":")[1] == "Oreo" for m in todo):
         vcfg = default_bc_config()
         vcfg["data"].update(batch_size=args.batch_size, task="VQVAE")
         vcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=10**6,
@@ -254,7 +269,7 @@ def run_seed(train_seed, args, out, store, shared_dd, expert_agg, n_frames,
         gc.collect()
 
     # ---------- 2+3. train each method, evaluate on both splits
-    for method_spec in args.methods:
+    for method_spec in todo:
         # spec grammar: Method[:Dropout][@lambda][%gaze_ratio][!notemporal]
         # e.g. Reg@1.0, None:GMD, Reg%0.5 (table-3 ratio), Reg!notemporal (table 4)
         method, lam, dropout, ratio, temporal = method_spec, None, "None", None, True

@@ -28,6 +28,12 @@ def build_dataset(cfg):
 def main(argv=None, mode: str = "bc"):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--resume", default=None, metavar="RUN_DIR",
+                   help="existing run directory (runs/<task>/<run_name>) to "
+                        "continue: restores params + optimizer + epoch/RNG "
+                        "cursors from its newest full-state checkpoint and "
+                        "appends to its metrics.jsonl; also turns on "
+                        "per-epoch full-state autosave for THIS run")
     p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = p.parse_args(argv)
     # multi-host: one jax.distributed.initialize per host before backend use
@@ -35,9 +41,19 @@ def main(argv=None, mode: str = "bc"):
     maybe_init_distributed()
     base = default_bc_config().to_dict()
     cfg = load_config(args.config, args.overrides, base=base)
+    if args.resume:
+        from pathlib import Path
+
+        run_dir = Path(args.resume)
+        if not run_dir.is_dir():
+            raise SystemExit(f"--resume: no such run directory: {run_dir}")
+        # pin the logger into the existing run: <log_dir>/<task>/<run_name>
+        cfg["logging"]["run_name"] = run_dir.name
+        cfg["data"]["task"] = run_dir.parent.name
+        cfg["logging"]["log_dir"] = str(run_dir.parent.parent)
     ds = build_dataset(cfg)
     trainer = Trainer(cfg, ds, mode=mode)
-    metrics = trainer.train()
+    metrics = trainer.train(resume=bool(args.resume))
     print("Training completed!", metrics)
     return 0
 

@@ -28,6 +28,50 @@ def restore_params(path: str | Path, template=None):
         return ckptr.restore(Path(path).absolute())
 
 
+def save_resume_state(ckpt_dir: str | Path, epoch_done: int, tree, meta: dict) -> Path:
+    """Preemption-safe full-state checkpoint after ``epoch_done`` epochs.
+
+    Layout: ``<ckpt_dir>/_resume_ep<N>/`` holds the Orbax tree (params,
+    optimizer state, jax step keys); ``meta.json`` inside it carries the host
+    cursors (epoch, global step, numpy bit-generator state, keep-best
+    trackers). The meta file is written atomically AFTER the tree, so a
+    checkpoint without meta.json is garbage from a mid-save kill and is
+    ignored on restore. Older ``_resume_ep*`` dirs are pruned only after the
+    new one is complete — a kill at any instant leaves at least one valid
+    checkpoint. Supersedes the reference's weights-only per-epoch saves
+    (train/train_bc.py:301-335; SURVEY §5.4 'no optimizer-state resume')."""
+    import shutil
+
+    root = Path(ckpt_dir).absolute()
+    path = root / f"_resume_ep{epoch_done}"
+    if path.exists():
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "tree", jax.device_get(tree), force=True)
+    tmp = path / "meta.json.tmp"
+    tmp.write_text(json.dumps({"epoch_done": epoch_done, **meta}))
+    tmp.rename(path / "meta.json")
+    for other in root.glob("_resume_ep*"):
+        if other != path:
+            shutil.rmtree(other, ignore_errors=True)
+    return path
+
+
+def latest_resume_state(ckpt_dir: str | Path):
+    """Return (tree_path, meta) of the newest COMPLETE resume checkpoint,
+    or None. Completeness = meta.json present (see save_resume_state)."""
+    root = Path(ckpt_dir)
+    best = None
+    for path in root.glob("_resume_ep*"):
+        meta_path = path / "meta.json"
+        if not meta_path.exists():
+            continue
+        meta = json.loads(meta_path.read_text())
+        if best is None or meta["epoch_done"] > best[1]["epoch_done"]:
+            best = (path / "tree", meta)
+    return best
+
+
 def save_manifest(ckpt_dir: str | Path, cfg, epoch: int, extra: dict | None = None) -> Path:
     """params.json with the keys bc_agent expects (train_bc.py:318-334)."""
     manifest = {

@@ -17,7 +17,8 @@ from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.logging import ExperimentLogger
 from ..utils.profiling import StageTimer
 from .bc import init_bc_state, make_bc_train_step
-from .checkpoint import restore_params, save_manifest, save_params
+from .checkpoint import (latest_resume_state, restore_params, save_manifest,
+                         save_params, save_resume_state)
 from .gaze_predictor import init_gaze_state, make_gaze_train_step
 from .optim import build_optimizer
 from .vqvae import init_vqvae_state, make_vqvae_train_step
@@ -111,11 +112,21 @@ class Trainer:
         self._rng = np.random.default_rng(cfg.get_path("training.seed", 0))
         self._step_key = jax.random.PRNGKey(cfg.get_path("training.seed", 0) + 1)
         self._global_step = 0
+        self._best_loss, self._best_params, self._best_epoch = float("inf"), None, -1
 
-    def train(self) -> dict:
+    def train(self, resume: bool = False) -> dict:
+        """Run the epoch loop. ``resume=True``: continue from the newest
+        full-state checkpoint in this run's ckpt_dir (params + optimizer +
+        epoch/RNG cursors — see save_resume/restore_resume), reproducing the
+        uninterrupted run bit-for-bit; starts fresh if none exists."""
         cfg = self.cfg
         epochs = cfg.get_path("training.epochs", 1)
         save_interval = cfg.get_path("training.save_interval", 50)
+        # full-state autosave cadence in epochs; 0 disables (default — the
+        # host round-trip of params+opt_state costs seconds over the TPU
+        # tunnel, so preemption safety is opt-in per run)
+        resume_interval = cfg.get_path("training.resume_interval",
+                                       1 if resume else 0)
         bs = cfg.data["batch_size"]
         last = {}
         # The frozen gaze predictor keeps its BEST epoch, not its last: at
@@ -127,8 +138,9 @@ class Trainer:
         # heat. BC/VQ modes keep last-epoch semantics (the reference's
         # protocol for the policy itself).
         keep_best = self.mode == "gaze"
-        best_loss, best_params, best_epoch = float("inf"), None, -1
-        for epoch in range(epochs):
+        self._best_loss, self._best_params, self._best_epoch = float("inf"), None, -1
+        start_epoch = self.restore_resume() if resume else 0
+        for epoch in range(start_epoch, epochs):
             if self.device_mode:
                 with self.timer.stage("epoch"):
                     if self._sharded_device:
@@ -162,20 +174,30 @@ class Trainer:
                 f"epoch {epoch + 1}/{epochs}: " + ", ".join(f"{k}={v:.5f}" for k, v in avg.items())
             )
             last = avg
-            if keep_best and avg.get("loss", float("inf")) < best_loss:
-                best_loss, best_epoch = avg["loss"], epoch + 1
+            if keep_best and avg.get("loss", float("inf")) < self._best_loss:
+                self._best_loss, self._best_epoch = avg["loss"], epoch + 1
                 # host copy: donated train steps invalidate old device buffers
-                best_params = jax.device_get(self.state.params)
+                self._best_params = jax.device_get(self.state.params)
             if (epoch + 1) % save_interval == 0 or (epoch + 1) == epochs:
                 self.save(epoch + 1)
-        if keep_best and best_params is not None and best_epoch != epochs:
-            self.state = self.state.replace(
-                params=jax.tree.map(jnp.asarray, best_params))
+            if resume_interval and ((epoch + 1) % resume_interval == 0
+                                    or (epoch + 1) == epochs):
+                self.save_resume(epoch + 1)
+        if keep_best and self._best_params is not None and self._best_epoch != epochs:
+            restored = jax.tree.map(jnp.asarray, self._best_params)
+            if self._sharded_device:
+                # keep the replicated sharding the rest of the state carries —
+                # a plain asarray would leave params uncommitted and the
+                # state mixed-sharding (ADVICE r3)
+                from ..parallel.mesh import replicated_sharding
+
+                restored = jax.device_put(restored, replicated_sharding(self.mesh))
+            self.state = self.state.replace(params=restored)
             self.save(epochs)  # final checkpoint holds the kept-best params
             self.logger.print(
-                f"kept best epoch {best_epoch} (loss {best_loss:.5f}) over "
+                f"kept best epoch {self._best_epoch} (loss {self._best_loss:.5f}) over "
                 f"final epoch ({last.get('loss', float('nan')):.5f})")
-            last = {**last, "loss": best_loss, "kept_best_epoch": best_epoch}
+            last = {**last, "loss": self._best_loss, "kept_best_epoch": self._best_epoch}
         return last
 
     def _revive_dead_codes(self, epoch: int) -> int:
@@ -208,30 +230,61 @@ class Trainer:
                 extra = {"model_type": "gaze_predictor" if self.mode == "gaze" else self.mode}
             save_manifest(self.logger.ckpt_dir, self.cfg, epoch, extra=extra)
 
-    def save_full_state(self, name: str = "resume"):
-        """Full-state checkpoint (params + optimizer state + step counter).
-
-        One-ups the reference, which only saves module weights per epoch
-        (SURVEY §5.4: 'no optimizer-state resume')."""
-        save_params(self.logger.ckpt_dir, f"_{name}", {
+    def _resume_tree(self):
+        """Device arrays of the full training state (for Orbax)."""
+        tree = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": jnp.asarray(self.state.step),
-            "global_step": jnp.asarray(self._global_step),
+            "step_key": self._step_key,
+        }
+        if self._best_params is not None:
+            tree["best_params"] = self._best_params
+        return tree
+
+    def save_resume(self, epoch_done: int):
+        """Full-state checkpoint: params + optimizer state + step counter +
+        both RNG cursors + keep-best trackers. With restore_resume this makes
+        a killed run continue bit-for-bit (regression: tests/test_resume.py).
+        The reference saves module weights only (train/train_bc.py:301-335)."""
+        save_resume_state(self.logger.ckpt_dir, epoch_done, self._resume_tree(), {
+            "global_step": self._global_step,
+            "rng_state": self._rng.bit_generator.state,
+            "best_loss": self._best_loss,
+            "best_epoch": self._best_epoch,
+            "has_best": self._best_params is not None,
         })
 
-    def restore_full_state(self, path):
-        tpl = {
-            "params": self.state.params,
-            "opt_state": self.state.opt_state,
-            "step": jnp.asarray(self.state.step),
-            "global_step": jnp.asarray(self._global_step),
-        }
-        loaded = restore_params(path, tpl)
-        self.state = self.state.replace(
-            params=loaded["params"], opt_state=loaded["opt_state"], step=loaded["step"]
-        )
-        self._global_step = int(loaded["global_step"])
+    def restore_resume(self) -> int:
+        """Restore the newest complete resume checkpoint in this run's
+        ckpt_dir. Returns the epoch index to continue FROM (0 = none found)."""
+        found = latest_resume_state(self.logger.ckpt_dir)
+        if found is None:
+            return 0
+        path, meta = found
+        # the template needs best_params iff the checkpoint carries it
+        self._best_params = (jax.device_get(self.state.params)
+                             if meta.get("has_best") else None)
+        loaded = restore_params(path, self._resume_tree())
+        state = self.state.replace(
+            params=loaded["params"], opt_state=loaded["opt_state"],
+            step=loaded["step"])
+        # Orbax hands back arrays committed to device 0; replicate them over
+        # the mesh so the next step's sharded batch doesn't see mixed
+        # placements (and sharded-device mode keeps its invariant).
+        from ..parallel.mesh import replicated_sharding
+
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.state = state
+        self._step_key = jnp.asarray(loaded["step_key"])
+        self._best_params = loaded.get("best_params")
+        self._global_step = int(meta["global_step"])
+        self._best_loss = float(meta["best_loss"])
+        self._best_epoch = int(meta["best_epoch"])
+        self._rng.bit_generator.state = meta["rng_state"]
+        self.logger.print(f"resumed from epoch {meta['epoch_done']} "
+                          f"(global step {self._global_step})")
+        return int(meta["epoch_done"])
 
     def _maybe_load_vqvae(self):
         """Oreo: adopt a pretrained VQ-VAE's encoder + frozen quantizer

@@ -39,7 +39,11 @@ def encode_run_name(cfg, tag: str = "") -> str:
 class ExperimentLogger:
     def __init__(self, cfg, task: str = "", tag: str = ""):
         root = Path(cfg.get_path("logging.log_dir", "runs"))
-        self.run_name = encode_run_name(cfg, tag or cfg.get_path("tag", ""))
+        # explicit run_name pins the run directory (resume re-enters an
+        # existing run: metrics.jsonl appends, checkpoints land beside the
+        # ones already there); default is a fresh timestamped name
+        self.run_name = (cfg.get_path("logging.run_name", "")
+                         or encode_run_name(cfg, tag or cfg.get_path("tag", "")))
         self.log_dir = root / (task or cfg.get_path("data.task", "task")) / self.run_name
         self.ckpt_dir = self.log_dir / "checkpoints"
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
