@@ -61,6 +61,11 @@ def main():
                    help="table-3 control: replace the dense analytic gaze with a sparse "
                         "human-like signal — sole top-hazard fixation, no road point, ~35%% "
                         "of frames dropped (eye-tracker validity statistics)")
+    p.add_argument("--gp_arch", default="autoencoder",
+                   choices=["autoencoder", "unet"],
+                   help="gaze-predictor backbone for heat-needing methods "
+                        "(the reference ships a UNet it never wires; "
+                        "model.arch=unet trains it for comparison)")
     p.add_argument("--clip_norm", type=float, default=None,
                    help="override optimizer.clip_norm (0 disables; de-confounds the "
                         "lambda ablation from gradient clipping)")
@@ -236,6 +241,7 @@ def run_seed(train_seed, args, out, store, shared_dd, expert_agg, n_frames,
 
         gcfg = default_gaze_config()
         gcfg["data"].update(batch_size=args.batch_size, task="GazePred")
+        gcfg["model"]["arch"] = args.gp_arch
         gcfg["training"].update(epochs=max(10, args.epochs // 2), save_interval=999,
                                 seed=train_seed)
         gcfg["scheduler"]["type"] = "none"

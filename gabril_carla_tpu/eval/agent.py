@@ -32,6 +32,7 @@ def manifest_to_config(manifest: dict) -> Config:
         num_residual_layers=manifest.get("num_residual_layers", 2),
         num_residual_hiddens=manifest.get("num_residual_hiddens", 32),
         z_dim=manifest.get("z_dim", 256),
+        arch=manifest.get("arch", "autoencoder"),
     )
     cfg["data"].update(
         frame_stack=manifest.get("stack", 2),

@@ -85,6 +85,7 @@ def save_manifest(ckpt_dir: str | Path, cfg, epoch: int, extra: dict | None = No
         "num_residual_layers": cfg.model["num_residual_layers"],
         "num_residual_hiddens": cfg.model["num_residual_hiddens"],
         "z_dim": cfg.model["z_dim"],
+        "arch": cfg.get_path("model.arch", "autoencoder"),
         "gaze_predictor_path": cfg.get_path("gaze.predictor_path", ""),
         "models_path": str(Path(ckpt_dir).absolute()),
         "epochs": epoch,

@@ -11,21 +11,32 @@ import jax
 import jax.numpy as jnp
 from flax.training.train_state import TrainState
 
-from ..models import AutoEncoder
+from ..models import AutoEncoder, UNet
 from ..ops.heatmap import GazeHeatmapper
 
 
 def build_gaze_models(cfg):
     m = cfg.model
     dt = jnp.bfloat16 if cfg.get_path("training.compute_dtype", "float32") == "bfloat16" else jnp.float32
-    model = AutoEncoder(
-        embedding_dim=m["embedding_dim"],
-        num_hiddens=m["num_hiddens"],
-        num_residual_layers=m["num_residual_layers"],
-        num_residual_hiddens=m["num_residual_hiddens"],
-        out_channels=1,
-        dtype=dt,
-    )
+    # model.arch selects the predictor backbone: 'autoencoder' (default — the
+    # reference's configured choice, train_gaze_predictor.py:45) or 'unet'
+    # (the reference's 4-level UNet, models/gaze_predictor.py:6-78, which it
+    # ships but does not wire into a default trainer either).
+    arch = m.get("arch", "autoencoder")
+    if arch == "unet":
+        model = UNet(output_channels=1, dtype=dt)
+    elif arch == "autoencoder":
+        model = AutoEncoder(
+            embedding_dim=m["embedding_dim"],
+            num_hiddens=m["num_hiddens"],
+            num_residual_layers=m["num_residual_layers"],
+            num_residual_hiddens=m["num_residual_hiddens"],
+            out_channels=1,
+            dtype=dt,
+        )
+    else:
+        raise ValueError(f"unknown gaze predictor arch {arch!r} "
+                         "(expected 'autoencoder' or 'unet')")
     g = cfg.gaze
     heatmapper = GazeHeatmapper(
         img_height=cfg.data["img_height"],
