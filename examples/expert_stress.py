@@ -35,10 +35,13 @@ def main():
     p.add_argument("--routes", type=int, nargs="+", default=[3099, 3100])
     p.add_argument("--seeds", type=int, default=16)
     p.add_argument("--steps", type=int, default=900)
+    p.add_argument("--junction_traffic", action="store_true",
+                   help="ambient junction crossing traffic (env/world.py)")
     args = p.parse_args()
 
     env = DrivingEnv()
-    specs = load_benchmark_specs(args.routes_xml, args.routes)
+    specs = load_benchmark_specs(args.routes_xml, args.routes,
+                                 junction_traffic=args.junction_traffic or None)
     specs = jax.tree.map(jnp.asarray, specs)
 
     @jax.jit

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 chip chain, continuation after the 2026-08-19 container restart.
+# Leg 1 (deg_conf seeds 45-47) completed before the restart; this picks up
+# at leg 2. Cell-level resume inside full_benchmark.py makes re-entry safe.
+#
+#   leg 2  sparse_core  GRIL + None:GMD + Reg@0.3 on sparse gaze, seeds 42-44
+#                       (the two ordering misses + the Reg anchor)
+#   leg 3  sparse_conf  Reg@0.3 confounded on sparse gaze, seeds 42-44
+#   leg 4  sparse_rest  Reg:GMD AGIL ViSaRL Mask Contrastive on sparse gaze,
+#                       seeds 42-44 (full scorecard recompute)
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=${1:-results_r4}
+CACHE=results_r3/expert_cache_raw.npz
+mkdir -p "$OUT"
+
+run() { # run <name> <outdir> <extra args...>
+  local name=$1 outdir=$2; shift 2
+  for attempt in 1 2; do
+    timeout 18000 python -u examples/full_benchmark.py \
+      --train_seeds $(seq 200 219) --epochs 30 --batch_size 128 \
+      --store_cache "$CACHE" --out "$outdir" "$@" \
+      >> "$OUT/$name.log" 2>&1 && { echo "$name OK (attempt $attempt)"; return; }
+    echo "$name attempt $attempt failed (rc=$?)" | tee -a "$OUT/$name.log"
+    sleep 420
+  done
+  echo "$name FAILED twice"
+}
+
+run sparse_core "$OUT/sparse_core"   --methods GRIL None:GMD Reg@0.3 --sparse_gaze --train_seed 42 43 44
+run sparse_conf "$OUT/sparse_conf"   --methods Reg@0.3 --sparse_gaze --confounded --train_seed 42 43 44
+run sparse_rest "$OUT/sparse_rest"   --methods Reg:GMD AGIL ViSaRL Mask Contrastive --sparse_gaze --train_seed 42 43 44
+echo "R4B SUITES DONE"

@@ -134,6 +134,30 @@ def ambient_step(spec, state: SceneState, key) -> SceneState:
     target = jnp.where(is_amb & alive, jnp.where(hold, 0.0, spec.amb_speed), v.target_speed)
     target = jnp.where(is_amb & ~alive, 0.0, target)
 
+    # ---- ambient JUNCTION crossing traffic (flow slot 0 when jct_flow,
+    # BackgroundBehavior's junction sources, background_activity.py:165+):
+    # hold short of the ego corridor while the ego's light is green (the
+    # crossing road then has red), or — unsignalized — while the ego is
+    # at/approaching the junction. Actors already past the hold line clear
+    # the junction; npc_collision_avoidance stays the safety net.
+    from .dynamics import FLOW0_START, FLOW1_START
+
+    is_jf = (idx >= FLOW0_START) & (idx < FLOW1_START) & jnp.asarray(spec.jct_flow)
+    sig = jnp.asarray(spec.jct_signal)
+    col_sig = color[jnp.clip(sig, 0, color.shape[0] - 1)]
+    # unsignalized: yield to a MOVING or very-close ego; an ego legally
+    # stopped short of the junction (stop sign, queue) does not dam the
+    # crossing road — its traffic flows in front, as in CARLA
+    ego_near = (ego_s > spec.jct_cross_s - 35.0) & (ego_s < spec.jct_cross_s + 6.0)
+    ego_close = jnp.abs(ego_s - spec.jct_cross_s) < 12.0
+    ego_threat = ego_near & ((state.ego.speed > 1.0) | ego_close)
+    blocked = jnp.where(sig >= 0, col_sig == GREEN, ego_threat)
+    at_hold = (v.flow_s < spec.jct_hold_s) & (v.flow_s > spec.jct_hold_s - 14.0)
+    # recompute (don't latch): a held actor resumes at flow speed the tick
+    # its block clears
+    jf_target = jnp.where(at_hold & blocked, 0.0, spec.flow_speed[0])
+    target = jnp.where(is_jf & v.alive, jf_target, target)
+
     # ---- respawn dead ambient slots ahead of the ego (one per direction per
     # tick keeps spawns staggered without per-slot RNG state)
     def respawn(vv, tgt, alv, block_lo, block_hi, direction, off, rkey):
@@ -190,10 +214,20 @@ def ambient_step(spec, state: SceneState, key) -> SceneState:
     return state.replace(vehicles=v)
 
 
-def ambient_speeds(vehicles: ActorPool):
+def ambient_speeds(vehicles: ActorPool, spec=None):
     """(mean speed of alive ambient actors, any alive) — the background
-    reference speed of MinimumSpeedRouteTest (atomic_criteria.py:2040-2056)."""
-    amb = jnp.arange(C.N_VEHICLES) >= AMBIENT_SAME
+    reference speed of MinimumSpeedRouteTest (atomic_criteria.py:2040-2056).
+
+    With ``spec`` given, junction crossing traffic (flow slot 0 under
+    jct_flow) counts as background too — in the reference those are
+    'background'-role actors (background_activity.py junction sources)."""
+    idx = jnp.arange(C.N_VEHICLES)
+    amb = idx >= AMBIENT_SAME
+    if spec is not None:
+        from .dynamics import FLOW0_START, FLOW1_START
+
+        amb = amb | (jnp.asarray(spec.jct_flow)
+                     & (idx >= FLOW0_START) & (idx < FLOW1_START))
     alive = vehicles.alive & amb
     n = jnp.sum(alive.astype(jnp.float32))
     mean = jnp.sum(jnp.where(alive, vehicles.speed, 0.0)) / jnp.maximum(n, 1.0)

@@ -213,7 +213,7 @@ def criteria_step(spec, state: SceneState) -> SceneState:
     # atomic_criteria.py:2040-2075 + statistics_manager 'decreases' rule)
     from .ambient import ambient_speeds
 
-    amb_mean, has_amb = ambient_speeds(state.vehicles)
+    amb_mean, has_amb = ambient_speeds(state.vehicles, spec)
     ego_sum = crit.ms_ego_sum + jnp.where(has_amb, ego.speed, 0.0)
     amb_sum = crit.ms_amb_sum + jnp.where(has_amb, amb_mean, 0.0)
     ticks = crit.ms_ticks + has_amb.astype(jnp.float32)

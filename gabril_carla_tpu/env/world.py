@@ -194,6 +194,20 @@ class WorldSpec:
     # only runs where the offset point really is a lane away from the route
     opp_ok: np.ndarray = field(
         default_factory=lambda: np.ones(C.MAX_ROUTE_POINTS, bool))
+    # ambient JUNCTION traffic (BackgroundBehavior's junction sources,
+    # background_activity.py:165+ — the reference populates every junction
+    # near the ego with background actors entering from the crossing roads).
+    # When a route's flow slot 0 is not scenario-owned and the route turns at
+    # a junction, the builder synthesizes the crossing road as an ambient
+    # source->sink flow riding the ordinary flow machinery (spawning,
+    # sinking, rendering as a crossing road all come for free). jct_flow
+    # marks slot 0 as ambient; crossing actors then obey the junction's
+    # signal (go while the ego's light is red) or yield to a nearby ego when
+    # unsignalized (env/ambient.py: junction hold rule).
+    jct_flow: np.ndarray = field(default_factory=lambda: np.bool_(False))
+    jct_cross_s: np.ndarray = field(default_factory=lambda: np.float32(0.0))  # ego-route arclength of the crossing
+    jct_hold_s: np.ndarray = field(default_factory=lambda: np.float32(0.0))  # flow arclength of the hold line
+    jct_signal: np.ndarray = field(default_factory=lambda: np.int32(-1))  # governing ego light, -1 = unsignalized
 
 
 def _left(d: np.ndarray) -> np.ndarray:
@@ -330,7 +344,8 @@ def _point_at(route_xy, route_dir, s: float):
 
 
 def detect_junctions(xy: np.ndarray, dirs: np.ndarray,
-                     min_turn_deg: float = 50.0, window_m: int = 30) -> list[float]:
+                     min_turn_deg: float = 50.0, window_m: int = 30,
+                     min_entry: float = 15.0) -> list[float]:
     """Junction-entry arclengths from route curvature.
 
     Without the OpenDRIVE maps (external CARLA assets), a junction is
@@ -355,7 +370,7 @@ def detect_junctions(xy: np.ndarray, dirs: np.ndarray,
             while j < len(hot) and hot[j]:
                 j += 1
             entry = float(i)  # turn starts here; the window looks forward
-            if entry > 15.0 and entry < n - 10.0:  # skip spawn / goal edges
+            if entry > min_entry and entry < n - 10.0:  # skip spawn / goal edges
                 entries.append(entry)
             i = j + window_m  # one junction per turn cluster
         else:
@@ -363,8 +378,14 @@ def detect_junctions(xy: np.ndarray, dirs: np.ndarray,
     return entries
 
 
+# Ambient junction traffic default. Kept as a module switch so suites can be
+# re-anchored across the flip (VERDICT r4 item 5: report the score delta).
+JUNCTION_TRAFFIC_DEFAULT = False
+
+
 def build_world_spec(route: dict, parked: np.ndarray | None = None,
-                     ambient: bool = True, n_scen: int | None = None) -> WorldSpec:
+                     ambient: bool = True, n_scen: int | None = None,
+                     junction_traffic: bool | None = None) -> WorldSpec:
     """Compile one parsed route into a WorldSpec.
 
     ``parked``: optional [P, 3] (x, y, yaw) town parked-vehicle slots
@@ -373,7 +394,12 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     ``n_scen``: pad the route's scenario list to K slots (noop scenarios) so
     specs with different scenario counts stack into one batch; default K =
     max(1, len(route["scenarios"])).
+    ``junction_traffic``: populate one scenario-free junction with ambient
+    crossing traffic via flow slot 0 (BackgroundBehavior's junction sources,
+    background_activity.py:165+); None = JUNCTION_TRAFFIC_DEFAULT.
     """
+    if junction_traffic is None:
+        junction_traffic = JUNCTION_TRAFFIC_DEFAULT
     xy = resample_polyline(route["waypoints"], 1.0)
     dirs = _tangents(xy)
     n = len(xy)
@@ -446,6 +472,7 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
     spawn_override = None
     encounter_reqs = []  # (name, trig_s): light phasing after the global fill
     nonsig_trigs = []  # trigger arclengths of nonsignalized-junction scenarios
+    stop_win_slots = []  # amb-window rows that only guard a stop-sign junction
 
     def set_flow(slot, pts, speed, gap, kind=0):
         if flow_owner[slot] is not None and flow_owner[slot] != _cur["si"]:
@@ -834,6 +861,9 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         if added_stop:  # stop-sign junction: keep it open in both directions
             amb_clear[si] = (trig_s - 15.0, trig_s + 25.0)
             amb_opp_clear[si] = (trig_s - 15.0, trig_s + 25.0)
+            # ...open for LANE traffic; crossing-road junction traffic is
+            # exactly what the reference provides at stop-sign junctions
+            stop_win_slots.append(si)
 
         # EV / hard-brake machines spawn their vehicle at runtime — reserve
         # one scripted slot for them even though nothing is placed at build
@@ -893,6 +923,68 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
             else:
                 target = 0.3 * C.TL_GREEN_S
             tl_offset[k] = (target - arrival) % cycle
+
+    # ---- ambient junction traffic (BackgroundBehavior's junction sources,
+    # background_activity.py:165+). If flow slot 0 is not scenario-owned,
+    # populate the first scenario-free junction with a crossing-road ambient
+    # flow. The crossing line sits just BEFORE the turn cluster (the approach
+    # is straight there; the post-turn exit road runs parallel to the line a
+    # turn-radius away, so crossing traffic never rides the ego's exit lane).
+    jct_flow = False
+    jct_cross_s = 0.0
+    jct_hold_s = 0.0
+    jct_signal = -1
+    if ambient and junction_traffic and flow_owner[0] is None:
+        def _window_hit(s, windows, pad=10.0):
+            return any(lo - pad <= s <= hi + pad
+                       for k, (lo, hi) in enumerate(windows)
+                       if hi > lo and k not in stop_win_slots)
+
+        # active scenarios keep their working zone junction-free; passive
+        # (Vanilla*) scenarios are exactly the ones the reference serves with
+        # background junction traffic, so they don't block it — nor do
+        # stop-sign windows (crossing traffic is what makes the sign real)
+        anchors = [float(t) for t, st in zip(trig_ss, stypes) if st != 0]
+        anchors += [float(a[0]) for a, st in zip(scen_aux_arr, stypes) if st != 0]
+        # bench2drive220 routes often spawn the ego right before (or inside)
+        # their junction — the Vanilla stop-sign routes' turn clusters start
+        # at s=0 — so detection runs all the way to the spawn
+        for entry in detect_junctions(xy, dirs, min_entry=-1.0):
+            # the ego's light/stop line sits at `entry` (global junction fill
+            # above); the crossing road runs just past it, before the route's
+            # heading has rotated (exit-lane overlap is impossible there)
+            s_x = entry + 8.0
+            if not (6.0 <= s_x <= n - 18.0):
+                continue
+            if _window_hit(s_x, amb_clear) or _window_hit(s_x, amb_opp_clear):
+                continue
+            if any(abs(s_x - a) < 35.0 for a in anchors):
+                continue
+            p_x, _dx = _point_at(xy, dirs, s_x)
+            d_in = dirs[int(np.clip(s_x - 4.0, 0, n - 1))]
+            perp = _left(d_in)
+            if int(route["id"]) % 2:  # vary approach side across routes
+                perp = -perp
+            pts = [p_x + perp * 55.0, p_x - perp * 55.0]
+            f = resample_polyline(np.asarray(pts, np.float32), 1.0)
+            fl = min(len(f), C.MAX_FLOW_POINTS)
+            flow_xy[0] = _pad(f, C.MAX_FLOW_POINTS)
+            flow_dir[0] = _pad(_tangents(f), C.MAX_FLOW_POINTS)
+            flow_len[0] = float(fl - 1)
+            flow_speed[0] = 7.0  # amb_speed
+            flow_gap[0] = (28.0, 55.0)
+            flow_enabled[0] = True
+            flow_kind[0] = 0
+            # hold line: flow arclength where the ego corridor begins
+            d_rf = np.linalg.norm(f[: fl, None, :] - xy[None, :, :], axis=-1).min(axis=1)
+            cross_f = float(np.argmin(d_rf))
+            jct_flow = True
+            jct_cross_s = float(s_x)
+            jct_hold_s = cross_f - 9.0
+            sig = [k for k in range(n_tl) if abs(float(tl_stop_s[k]) - s_x) < 25.0]
+            if sig:
+                jct_signal = min(sig, key=lambda k: abs(float(tl_stop_s[k]) - s_x))
+            break
 
     # ---- weather keyframes: pad/clamp to the fixed-slot table; a route
     # without <weathers> gets one clear-noon row (the legacy default)
@@ -963,6 +1055,10 @@ def build_world_spec(route: dict, parked: np.ndarray | None = None,
         weather_keys=weather_keys,
         n_weather=np.int32(n_weather),
         opp_ok=opp_ok,
+        jct_flow=np.bool_(jct_flow),
+        jct_cross_s=np.float32(jct_cross_s),
+        jct_hold_s=np.float32(jct_hold_s),
+        jct_signal=np.int32(jct_signal),
     )
 
 
@@ -974,7 +1070,8 @@ def stack_specs(specs: list[WorldSpec]) -> WorldSpec:
 
 
 def load_benchmark_specs(xml_path: str, route_ids: list[int],
-                         parked_tables_path: str | None = "auto") -> WorldSpec:
+                         parked_tables_path: str | None = "auto",
+                         junction_traffic: bool | None = None) -> WorldSpec:
     routes = parse_routes_xml(xml_path, route_ids)
     tables: dict[str, np.ndarray] = {}
     if parked_tables_path == "auto":
@@ -989,6 +1086,7 @@ def load_benchmark_specs(xml_path: str, route_ids: list[int],
     # (bench2drive220 routes all carry exactly one -> K=1, same program)
     k = max(1, max(len(routes[r]["scenarios"] or []) for r in route_ids))
     return stack_specs(
-        [build_world_spec(routes[r], parked=tables.get(routes[r]["town"]), n_scen=k)
+        [build_world_spec(routes[r], parked=tables.get(routes[r]["town"]), n_scen=k,
+                          junction_traffic=junction_traffic)
          for r in route_ids]
     )

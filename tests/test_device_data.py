@@ -88,15 +88,20 @@ def test_sharded_gather_covers_all_episodes():
             assert (flat == frame).all(axis=(1, 2, 3)).any()
 
 
-def test_full_state_checkpoint_resume():
+def test_full_state_checkpoint_resume(tmp_path):
+    """Full-state checkpoint API (save_resume/restore_resume; the bit-for-bit
+    continuation property is covered by tests/test_resume.py)."""
     store = synthetic_episodes(n_demos=2, steps=16, img_hw=(24, 48), max_points=3)
-    tr = Trainer(cfg_small(False), BCDataset(store, frame_stack=2), mode="bc")
+    cfg = cfg_small(False)
+    cfg["logging"].update(log_dir=str(tmp_path), run_name="fullstate")
+    tr = Trainer(cfg, BCDataset(store, frame_stack=2), mode="bc")
     tr.train()
-    tr.save_full_state()
-    path = tr.logger.ckpt_dir / "ep_resume"
+    tr.save_resume(epoch_done=int(cfg["training"]["epochs"]))
 
-    tr2 = Trainer(cfg_small(False), BCDataset(store, frame_stack=2), mode="bc")
-    tr2.restore_full_state(path)
+    cfg2 = cfg_small(False)
+    cfg2["logging"].update(log_dir=str(tmp_path), run_name="fullstate")
+    tr2 = Trainer(cfg2, BCDataset(store, frame_stack=2), mode="bc")
+    assert tr2.restore_resume() == int(cfg["training"]["epochs"])
     assert int(tr2.state.step) == int(tr.state.step)
     a = jax.tree.leaves(tr.state.params)[0]
     b = jax.tree.leaves(tr2.state.params)[0]
