@@ -40,6 +40,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--junction_traffic", action="store_true",
+                   help="ambient junction crossing traffic in collection AND eval worlds "
+                        "(env/world.py flow-slot-0 synthesis); pair with a junction-specific "
+                        "--store_cache, the collected frames differ")
     p.add_argument("--train_seeds", type=int, nargs="*", default=list(range(200, 212)))
     p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
     p.add_argument("--collect_steps", type=int, default=900)
@@ -61,6 +65,10 @@ def main():
                    help="table-3 control: replace the dense analytic gaze with a sparse "
                         "human-like signal — sole top-hazard fixation, no road point, ~35%% "
                         "of frames dropped (eye-tracker validity statistics)")
+    p.add_argument("--human_gaze", action="store_true",
+                   help="eye-tracker-statistics gaze: one fixation that HOLDS its screen "
+                        "position between lognormal-duration saccades, with landing/drift "
+                        "noise and ~35%% dropout frames (gaze_stats.humanize_gaze_coords)")
     p.add_argument("--gp_arch", default="autoencoder",
                    choices=["autoencoder", "unet"],
                    help="gaze-predictor backbone for heat-needing methods "
@@ -76,7 +84,8 @@ def main():
     env = DrivingEnv()
     seen = seen_routes()
     unseen = unseen_routes()
-    all_specs = load_benchmark_specs(args.routes_xml, seen + unseen)
+    all_specs = load_benchmark_specs(args.routes_xml, seen + unseen,
+                                     junction_traffic=args.junction_traffic or None)
     all_specs = jax.tree.map(jnp.asarray, all_specs)
     idx_of = {r: i for i, r in enumerate(seen + unseen)}
 
@@ -134,8 +143,9 @@ def main():
     # rising ratio curve rides sparse human/VLM gaze; the dense analytic gaze
     # (road fixation every frame) saturates at 25% of frames. This keeps one
     # top-hazard fixation per frame and drops ~35% of frames entirely.
-    if args.sparse_gaze:
-        from gabril_carla_tpu.data.gaze_stats import sparsify_gaze_coords
+    if args.sparse_gaze or args.human_gaze:
+        from gabril_carla_tpu.data.gaze_stats import (humanize_gaze_coords,
+                                                      sparsify_gaze_coords)
 
         store.finalize()
         # Dropout mask seeded from the first training seed: the sparse gaze
@@ -143,9 +153,15 @@ def main():
         # shared by the seeds of THIS run, but distinct across suite
         # invocations with different seed lists (ADVICE r3: don't reuse one
         # fixed pattern for every variant).
-        g = sparsify_gaze_coords(store.flat_gazes, seed=args.train_seed[0])
+        if args.human_gaze:
+            g = humanize_gaze_coords(store.flat_gazes, lengths=store.lengths,
+                                     seed=args.train_seed[0])
+            tag = "human_gaze"
+        else:
+            g = sparsify_gaze_coords(store.flat_gazes, seed=args.train_seed[0])
+            tag = "sparse_gaze"
         valid = (g[:, 0] >= 0).mean()
-        print(f"[sparse_gaze] {100*valid:.0f}% of frames keep one fixation "
+        print(f"[{tag}] {100*valid:.0f}% of frames keep one fixation "
               f"(mask seed {args.train_seed[0]})", flush=True)
 
     # ---------- 1a. confounded variant: overlay recorded actions onto frames

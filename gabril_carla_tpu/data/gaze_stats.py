@@ -65,3 +65,83 @@ def sparsify_gaze_coords(
     sparse[rng.random(len(gazes)) < blank_frac] = -1.0
     gazes[:] = sparse
     return gazes
+
+
+# ---- eye-tracker temporal statistics (humanize_gaze_coords defaults).
+# Values are taken from the eye-movements-in-driving literature, not fit to
+# benchmark results:
+#   * fixation durations in driving cluster at a ~300 ms median with a
+#     right-skewed (lognormal) tail out past 1 s;
+#   * saccade landing + tracker accuracy error is ~1-2 deg visual angle;
+#     at the 320-px-wide ~90 deg FOV chase camera 1 deg ~ 1.1% of image
+#     width, so the combined sigma is ~1.5% of width;
+#   * intra-fixation drift/microsaccades + tracker jitter ~0.3 deg.
+FIX_MEDIAN_S = 0.30
+FIX_LOG_SIGMA = 0.6
+FIX_MIN_S, FIX_MAX_S = 0.08, 1.2
+SIGMA_LAND = 0.015
+SIGMA_DRIFT = 0.004
+
+
+def humanize_gaze_coords(
+    gazes: np.ndarray,
+    lengths: np.ndarray | None = None,
+    dt: float = 0.05,
+    blank_frac: float = BLANK_FRAC,
+    fixation_slice: slice = slice(2, 4),
+    fallback_slice: slice = slice(0, 2),
+    seed: int = 123,
+) -> np.ndarray:
+    """Dense analytic gaze [T, P*2] -> eye-tracker-statistics stream, in place.
+
+    Where :func:`sparsify_gaze_coords` matches human gaze's *spatial* density
+    (one fixation, dropout frames), the recorded point it keeps still tracks
+    the top hazard tick-accurately — temporally it stays a noiseless pointer.
+    Real point-of-regard data is piecewise constant: the eye saccades to a
+    target, lands with error, then HOLDS that screen position for a
+    fixation-duration-distributed interval (drifting slightly) while the
+    scene moves on underneath. This transform reproduces those statistics:
+
+      * saccade onsets drawn from a lognormal fixation-duration distribution
+        (median ``FIX_MEDIAN_S``, clamped to [80 ms, 1.2 s]),
+      * at each onset the new target is the CURRENT top-hazard point
+        (``fixation_slice``; the road point ``fallback_slice`` when no
+        hazard is valid) plus isotropic landing/tracker noise ``SIGMA_LAND``,
+      * between onsets the recorded gaze holds the landed position with
+        per-frame drift ``SIGMA_DRIFT`` — it does not track the target,
+      * ``blank_frac`` of frames are invalidated entirely (blinks/dropout),
+        matching the tracker-validity statistics of sparsify_gaze_coords.
+
+    ``lengths``: per-episode frame counts (EpisodeStore.lengths); fixations
+    never span an episode boundary. One episode is assumed when omitted.
+    Returns the same array (mutated) for chaining.
+    """
+    rng = np.random.default_rng(seed)
+    tgt = gazes[:, fixation_slice].copy()
+    fb = gazes[:, fallback_slice].copy()
+    no_hazard = (tgt < 0.0).any(axis=1)
+    tgt[no_hazard] = fb[no_hazard]
+    out = np.full_like(gazes, -1.0)
+
+    if lengths is None:
+        lengths = np.asarray([len(gazes)], np.int64)
+    start = 0
+    for n in np.asarray(lengths, np.int64):
+        t = start
+        while t < start + n:
+            dur_s = float(np.clip(
+                FIX_MEDIAN_S * np.exp(rng.normal(0.0, FIX_LOG_SIGMA)),
+                FIX_MIN_S, FIX_MAX_S))
+            dur = max(1, int(round(dur_s / dt)))
+            end = min(t + dur, start + int(n))
+            point = tgt[t]
+            if (point >= 0.0).all():
+                land = np.clip(point + rng.normal(0.0, SIGMA_LAND, 2), 0.0, 1.0)
+                drift = np.cumsum(rng.normal(0.0, SIGMA_DRIFT, (end - t, 2)), axis=0)
+                out[t:end, 0:2] = np.clip(land[None] + drift, 0.0, 1.0)
+            t = end
+        start += int(n)
+
+    out[rng.random(len(gazes)) < blank_frac] = -1.0
+    gazes[:] = out
+    return gazes

@@ -132,3 +132,58 @@ def test_sparsify_gaze_coords_statistics():
     # deterministic: same seed -> same mask
     out2 = sparsify_gaze_coords(dense.copy(), blank_frac=0.35, seed=123)
     assert np.array_equal(out, out2)
+
+
+def test_humanize_gaze_coords_statistics():
+    """Eye-tracker temporal statistics: piecewise-constant-ish fixations with
+    lognormal durations, landing noise vs the instantaneous hazard, episode
+    isolation, dropout fraction, determinism."""
+    import numpy as np
+
+    from gabril_carla_tpu.data.gaze_stats import (FIX_MAX_S, FIX_MIN_S,
+                                                  humanize_gaze_coords)
+
+    rng = np.random.default_rng(1)
+    t, p, dt = 6000, 5, 0.05
+    dense = (0.2 + 0.6 * rng.random((t, p * 2))).astype(np.float32)
+    # the real top-hazard point moves smoothly (a car sliding across the
+    # view), not i.i.d. — make it a slow bounded walk so "landed near the
+    # onset-time target" is a meaningful property
+    walk = np.cumsum(rng.normal(0.0, 0.004, (t, 2)), axis=0)
+    dense[:, 2:4] = (0.5 + 0.3 * np.sin(walk + rng.random(2) * 6.28)).astype(np.float32)
+    hazard = dense[:, 2:4].copy()
+    lengths = np.asarray([2500, 2500, 1000])
+
+    out = humanize_gaze_coords(dense.copy(), lengths=lengths, dt=dt,
+                               blank_frac=0.35, seed=7)
+    kept = out[:, 0] >= 0
+    assert np.all(out[:, 2:] == -1.0)
+    assert abs(kept.mean() - 0.65) < 0.03
+
+    # temporally a hold, not a pointer: the recorded gaze must differ from
+    # the tick-accurate hazard on most kept frames (the scene moves under a
+    # held fixation)...
+    err = np.linalg.norm(out[kept, 0:2] - hazard[kept], axis=1)
+    assert (err > 1e-4).mean() > 0.99
+    # ...but each fixation LANDED near the hazard current at its onset, so
+    # the median error stays small (landing sigma + drift + target motion)
+    assert np.median(err) < 0.25
+
+    # fixation segmentation on the unblanked signal: recover onsets as
+    # frames where the point jumps by more than drift can explain
+    full = humanize_gaze_coords(dense.copy(), lengths=lengths, dt=dt,
+                                blank_frac=0.0, seed=7)
+    for a, b in ((0, 2500), (2500, 5000), (5000, 6000)):
+        seg = full[a:b, 0:2]
+        jump = np.linalg.norm(np.diff(seg, axis=0), axis=1)
+        onsets = np.flatnonzero(jump > 0.03) + 1
+        durs = np.diff(np.concatenate([[0], onsets, [b - a]])) * dt
+        # median duration in the plausible fixation range, max below clamp
+        assert FIX_MIN_S <= np.median(durs) <= 2.0 * FIX_MAX_S
+        # enough saccades happened for the duration model to be real
+        assert len(onsets) >= (b - a) * dt / 1.5
+
+    # determinism
+    out2 = humanize_gaze_coords(dense.copy(), lengths=lengths, dt=dt,
+                                blank_frac=0.35, seed=7)
+    assert np.array_equal(out, out2)
