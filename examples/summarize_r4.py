@@ -1,0 +1,155 @@
+"""Summarize round-4 suites on top of the round-3 re-anchor.
+
+Adds to examples/summarize_r3.py (whose collect/table machinery it reuses):
+
+  * the gaze-statistics ladder for the two round-3 ordering misses —
+    dense analytic (results_r3/core2) -> spatial-only sparse
+    (results_r4/sparse_core, one tick-accurate fixation + dropout) ->
+    full eye-tracker statistics (results_r4/human_core, fixations HOLD
+    between saccades with landing/drift noise). The reference's GRIL band
+    and GMD column are judged on the statistics-matched rung;
+  * the confounded degradation check at 6 paired seeds with a
+    paired-by-seed t-CI (VERDICT r3 item 2);
+  * the calibration scorecard (mean |delta| + Spearman vs the published
+    VLM tables) recomputed with the statistics-matched gaze cells
+    substituted for the gaze-coordinate-consuming methods;
+  * ambient-junction-traffic re-anchor deltas (results_r4/jct_anchor vs
+    the junction-free core2 cells, VERDICT r3 item 5).
+
+    python examples/summarize_r4.py [results_r3] [results_r4]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from summarize_r3 import collect, stat, table  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from examples.calibration_scorecard import (METHODS, load_ref,  # noqa: E402
+                                            scorecard, spearman)
+
+
+def mean_seen(data, m):
+    return float(np.mean(data[m]["seen"])) if m in data and data[m]["seen"] else None
+
+
+def main(r3="results_r3", r4="results_r4"):
+    r3, r4 = Path(r3), Path(r4)
+
+    # ---- round-3 anchors (same pooling as summarize_r3: core2 + rest +
+    # agil_seeds carry the clean cells, conf2 the confounded ones)
+    core = collect(r3, "core2")
+    for extra in ("rest", "agil_seeds"):
+        for m, d in collect(r3, extra).items():
+            core[m]["seen"] += d["seen"]
+            core[m]["unseen"] += d["unseen"]
+    conf = collect(r3, "conf2")
+
+    sparse_core = collect(r4, "sparse_core")
+    sparse_conf = collect(r4, "sparse_conf")
+    human_core = collect(r4, "human_core")
+    jct = collect(r4, "jct_anchor")
+
+    table(sparse_core, "Spatial-only sparse gaze (tick-accurate fixation + dropout)")
+    table(sparse_conf, "Spatial-only sparse gaze, CONFOUNDED")
+    table(human_core, "Eye-tracker-statistics gaze (hold + landing/drift noise)")
+    table(jct, "Ambient junction traffic ON (fresh expert cache)")
+
+    bc = mean_seen(core, "None")
+
+    # ---- the gaze-statistics ladder for the two round-3 ordering misses
+    print("\n### Gaze-statistics ladder (seen means; BC anchor "
+          f"{bc:.1f} is gaze-free, shared)\n")
+    print("| Method | dense analytic | + spatial sparsity | + temporal statistics | ref (VLM) |")
+    print("|---|---|---|---|---|")
+    for label, m in (("GRIL", "GRIL"), ("GMD", "None:GMD"), ("GABRIL", "Reg@0.3")):
+        d0, d1, d2 = mean_seen(core, m), mean_seen(sparse_core, m), mean_seen(human_core, m)
+        ref = {"GRIL": 50.1, "GMD": 43.0, "GABRIL": 62.4}[label]
+        row = " | ".join("—" if v is None else f"{v:.1f}" for v in (d0, d1, d2))
+        print(f"| {label} | {row} | {ref} |")
+
+    checks = []
+    gril_h, gmd_h, gab_h = (mean_seen(human_core, m)
+                            for m in ("GRIL", "None:GMD", "Reg@0.3"))
+    if gril_h is not None and bc is not None:
+        checks.append((f"GRIL within 0.6x..1.2x BC under matched statistics "
+                       f"(ratio {gril_h / bc:.2f}; Original.csv: 50.1 vs 47.8)",
+                       0.6 * bc <= gril_h <= 1.2 * bc))
+    if gmd_h is not None and gab_h is not None:
+        checks.append((f"GABRIL >= GMD under matched statistics "
+                       f"({gab_h:.1f} vs {gmd_h:.1f}; ref 62.4 > 43.0)",
+                       gab_h >= gmd_h))
+
+    # ---- confounded degradation at 6 paired seeds with a t-CI
+    deg_c = {m: {k: core[m][k] + collect(r3, "deg_clean").get(m, {k: []})[k]
+                 for k in ("seen",)} for m in ("None", "Reg@0.3")}
+    deg_f = {m: {k: conf[m][k] + collect(r3, "deg_conf").get(m, {k: []})[k]
+                 for k in ("seen",)} for m in ("None", "Reg@0.3")}
+    n_pair = min(len(v["seen"]) for v in list(deg_c.values()) + list(deg_f.values()))
+    if n_pair >= 4:
+        rel = {}
+        for m in ("None", "Reg@0.3"):
+            cl = np.asarray(deg_c[m]["seen"][:n_pair])
+            cf = np.asarray(deg_f[m]["seen"][:n_pair])
+            rel[m] = (cl - cf) / np.maximum(cl, 1e-6)
+        diff = rel["None"] - rel["Reg@0.3"]  # >0 = BC degrades more
+        t5 = {4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447}.get(n_pair, 2.571)
+        half = t5 * diff.std(ddof=1) / np.sqrt(n_pair)
+        print(f"\n### Relative degradation, {n_pair} paired seeds "
+              f"(clean->confounded, seen)\n")
+        print("  BC    : " + " ".join(f"{v:+.0%}" for v in rel["None"]))
+        print("  GABRIL: " + " ".join(f"{v:+.0%}" for v in rel["Reg@0.3"]))
+        print(f"  paired diff (BC - GABRIL): {diff.mean():+.1%} "
+              f"± {half:.1%} (95% t-CI), BC degrades more in "
+              f"{int((diff > 0).sum())}/{n_pair} pairs")
+        # the reference's own effect is 3pp of relative degradation
+        # (Confounded.csv: -31% vs -28%); when the CI half-width dwarfs
+        # that, the honest verdict is 'below instrument resolution', not a
+        # pass or fail read off the point estimate's sign
+        if half <= 0.06:
+            checks.append((f"BC degrades more than GABRIL at {n_pair} paired "
+                           f"seeds ({diff.mean():+.1%} ± {half:.1%}; "
+                           "ref effect 3pp)", diff.mean() > 0))
+        else:
+            print(f"  -> INDETERMINATE: the published effect (3pp relative) is "
+                  f"{half / 0.03:.0f}x smaller than the CI half-width at 20-40 "
+                  f"rollouts/cell; CI includes both orderings")
+
+    # ---- junction-traffic re-anchor deltas (VERDICT r3 item 5)
+    if jct:
+        print("\n### Junction-traffic re-anchor deltas (seen)\n")
+        for m in ("None", "Reg@0.3"):
+            j, d = mean_seen(jct, m), mean_seen(core, m)
+            if j is not None and d is not None:
+                n = len(jct[m]["seen"])
+                print(f"  {m}: {j:.1f} (jct on, {n} seeds) vs {d:.1f} "
+                      f"(core2 pool) -> Δ {j - d:+.1f}")
+
+    print("\nRound-4 ordering checks:")
+    for name, ok in checks:
+        print(f"  [{'x' if ok else ' '}] {name}")
+
+    # ---- calibration scorecard: all-dense (round-3 instrument) and the
+    # statistics-matched substitution (GRIL + GMD + GABRIL from human_core)
+    ours_dense = {m: v for m, v in core.items()}
+    scorecard("Clean, all-dense gaze (round-3 instrument)",
+              load_ref("Original"), ours_dense)
+    if human_core:
+        ours_sub = dict(ours_dense)
+        for m in ("GRIL", "None:GMD", "Reg@0.3"):
+            if human_core.get(m, {}).get("seen"):
+                ours_sub[m] = human_core[m]
+        scorecard("Clean, statistics-matched gaze substituted "
+                  "(GRIL/GMD/GABRIL from human_core)",
+                  load_ref("Original"), ours_sub)
+    scorecard("Confounded (conf2)", load_ref("Confounded"), conf)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
