@@ -131,12 +131,18 @@ def main() -> int:
         if int(block_env) != BLOCK_ROWS:
             block_tag = f"+block{int(block_env)}"
 
+    # Frame ring buffer lives in the policy's compute dtype: under bf16 the
+    # first conv casts its input to bf16 regardless (flax dtype promotion),
+    # so storing bf16 is bit-identical for the policy while halving the
+    # per-step ring-buffer copy and the policy's HBM input reads.
+    fdt = jnp.bfloat16 if cfg["training"]["compute_dtype"] == "bfloat16" else jnp.float32
+
     def one_world_step(spec, state, frames, params):
         if skip_render:
             # data-dependent fill keeps the frame un-hoistable and un-DCE-able
-            frame = jnp.full((180, 320), jnp.sum(state.ego.pos) * 1e-6)
+            frame = jnp.full((180, 320), jnp.sum(state.ego.pos) * 1e-6, fdt)
         else:
-            frame = render_frame(spec, state)
+            frame = render_frame(spec, state).astype(fdt)
         frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
         if skip_policy:
             action = jnp.array([0.3, 0.0, 0.0]) + 1e-9 * frames[0, 0, 0]
@@ -147,7 +153,7 @@ def main() -> int:
 
     def run(specs, params, keys):
         states = jax.vmap(env.reset)(specs, keys)
-        frames0 = jnp.zeros((n_worlds, 180, 320, s))
+        frames0 = jnp.zeros((n_worlds, 180, 320, s), fdt)
 
         def body(carry, _):
             st, fr = carry
