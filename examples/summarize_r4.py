@@ -130,6 +130,37 @@ def main(r3="results_r3", r4="results_r4"):
                 print(f"  {m}: {j:.1f} (jct on, {n} seeds) vs {d:.1f} "
                       f"(core2 pool) -> Δ {j - d:+.1f}")
 
+    # ---- UNet gaze-predictor comparison cell (VERDICT r3 item 9): AGIL
+    # with the UNet backbone vs the AutoEncoder AGIL cells pooled in core
+    unet = collect(r4, "unet_gp")
+    if unet.get("AGIL", {}).get("seen"):
+        agil_ae = core.get("AGIL", {"seen": []})
+        print("\n### Gaze-predictor backbone: UNet vs AutoEncoder (AGIL)\n")
+        print(f"  UNet       : seen {stat(unet['AGIL']['seen'])}  "
+              f"unseen {stat(unet['AGIL']['unseen'])} "
+              f"({len(unet['AGIL']['seen'])} seeds)")
+        if agil_ae["seen"]:
+            print(f"  AutoEncoder: seen {stat(agil_ae['seen'])}  "
+                  f"unseen {stat(agil_ae['unseen'])} "
+                  f"({len(agil_ae['seen'])} seeds)")
+
+    # ---- AGIL seed extension (VERDICT r3 weak item 3): defaults are
+    # unchanged since the r3 re-anchor, so fresh seeds pool with core
+    agil_ext = collect(r4, "agil_ext")
+    if agil_ext.get("AGIL", {}).get("seen"):
+        pooled = {k: core["AGIL"][k] + agil_ext["AGIL"][k]
+                  for k in ("seen", "unseen")}
+        bc_seen = core["None"]["seen"]
+        n = len(pooled["seen"])
+        print(f"\n### AGIL at {n} seeds (core pool + agil_ext)\n")
+        print(f"  AGIL seen {stat(pooled['seen'])}  "
+              f"unseen {stat(pooled['unseen'])}")
+        print(f"  BC   seen {stat(bc_seen)} ({len(bc_seen)} seeds)")
+        checks.append((f"AGIL > BC clean at {n} seeds "
+                       f"({np.mean(pooled['seen']):.1f} vs "
+                       f"{np.mean(bc_seen):.1f}; ref 56.2 vs 47.8)",
+                       float(np.mean(pooled["seen"])) > float(np.mean(bc_seen))))
+
     print("\nRound-4 ordering checks:")
     for name, ok in checks:
         print(f"  [{'x' if ok else ' '}] {name}")

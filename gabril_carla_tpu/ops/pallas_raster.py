@@ -46,12 +46,13 @@ CAM_Z = 1.6
 MAX_DEPTH = 120.0
 SKY, GRASS, ROAD, MARK = 0.62, 0.42, 0.24, 0.85
 
-BLOCK_ROWS = 64  # default tile height; see render_frame_pallas(block_rows=...)
-# 64 beat 32 in the round-3 probe (results_r3/perf_probe.jsonl: block64_256
-# 23.5k vs full_256 22.0k) — fewer grid dispatches while keeping the
-# depth-bounded prefixes tighter than 128; re-measured same-session in
-# results_r4/perf_probe.jsonl. Outputs are identical for any value
-# (parity-tested at 32/64/128).
+BLOCK_ROWS = 32  # default tile height; see render_frame_pallas(block_rows=...)
+# Tile-height A/Bs disagree across sessions (results_r3/perf_probe.jsonl had
+# 64 ahead by ~1.5k; the same-session round-4 ladder, results_r4/
+# perf_probe.jsonl, has 32 ahead by ~0.35k) — the spread is within
+# session-to-session variance, so the default stays 32. block>=128 also
+# costs ~12 min of Mosaic compile (fully-unrolled depth prefixes per tile
+# class). Outputs are identical for any value (parity-tested at 32/64/128).
 LANES = 128
 N_PIX = H * W  # 57600
 ROWS_PAD = 512  # 512 * 128 = 65536 >= N_PIX
