@@ -88,13 +88,20 @@ def main() -> int:
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops_per_step = float(ca.get("flops", 0.0))
 
+    # Forced D2H instead of block_until_ready: through the axon tunnel
+    # block_until_ready can return before device execution finishes (same
+    # workaround as bench.py) — the first on-chip run timed dispatch, not
+    # execution, and reported a 65x-over-peak "MFU".
+    def _sync(st):
+        np.asarray(jax.tree.leaves(st.params)[0])
+
     state, _ = step(state, batch, key)  # warm (donated: state must thread)
-    jax.block_until_ready(state.params)
+    _sync(state)
 
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
+    _sync(state)
     dt = time.perf_counter() - t0
 
     samples_per_sec = bs * iters / dt
