@@ -136,6 +136,13 @@ def main() -> int:
     # so storing bf16 is bit-identical for the policy while halving the
     # per-step ring-buffer copy and the policy's HBM input reads.
     fdt = jnp.bfloat16 if cfg["training"]["compute_dtype"] == "bfloat16" else jnp.float32
+    # The ring is carried as a rotating TUPLE of [H,W] frames, stacked only
+    # at the policy input — identical pixels to the old slice+concatenate of
+    # a [H,W,S] buffer, but the rotation is a carry-leaf swap instead of a
+    # strided-slice DMA over the whole buffer (docs/DESIGN.md §7b lever 2;
+    # the trace showed ~166 slice-start DMAs/iteration from the old form).
+    # GABRIL_BENCH_CONCAT_RING=1 restores the old form for A/B (mode-tagged).
+    concat_ring = _flag("GABRIL_BENCH_CONCAT_RING")
 
     def one_world_step(spec, state, frames, params):
         if skip_render:
@@ -143,17 +150,25 @@ def main() -> int:
             frame = jnp.full((180, 320), jnp.sum(state.ego.pos) * 1e-6, fdt)
         else:
             frame = render_frame(spec, state).astype(fdt)
-        frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
-        if skip_policy:
-            action = jnp.array([0.3, 0.0, 0.0]) + 1e-9 * frames[0, 0, 0]
+        if concat_ring:
+            frames = jnp.concatenate([frames[..., 1:], frame[..., None]], axis=-1)
+            obs = frames
         else:
-            action = policy(params, frames[None])[0]
+            frames = frames[1:] + (frame,)
+            obs = jnp.stack(frames, axis=-1)
+        if skip_policy:
+            action = jnp.array([0.3, 0.0, 0.0]) + 1e-9 * obs[0, 0, 0]
+        else:
+            action = policy(params, obs[None])[0]
         state = env.step(spec, state, action)
         return state, frames
 
     def run(specs, params, keys):
         states = jax.vmap(env.reset)(specs, keys)
-        frames0 = jnp.zeros((n_worlds, 180, 320, s), fdt)
+        if concat_ring:
+            frames0 = jnp.zeros((n_worlds, 180, 320, s), fdt)
+        else:
+            frames0 = tuple(jnp.zeros((n_worlds, 180, 320), fdt) for _ in range(s))
 
         def body(carry, _):
             st, fr = carry
@@ -189,6 +204,7 @@ def main() -> int:
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 20.0, 1),
                 "mode": mode + fallback + block_tag
+                + ("+concat_ring" if concat_ring else "")
                 + ("+skip_policy" if skip_policy else "")
                 + ("+skip_render" if skip_render else ""),
             }
