@@ -132,17 +132,19 @@ def main(r3="results_r3", r4="results_r4"):
 
     # ---- UNet gaze-predictor comparison cell (VERDICT r3 item 9): AGIL
     # with the UNet backbone vs the AutoEncoder AGIL cells pooled in core
+    def fmt(v):
+        m, sd, n = stat(v)
+        return f"{m:.1f} ± {sd:.1f} ({n} seeds)"
+
     unet = collect(r4, "unet_gp")
     if unet.get("AGIL", {}).get("seen"):
         agil_ae = core.get("AGIL", {"seen": []})
         print("\n### Gaze-predictor backbone: UNet vs AutoEncoder (AGIL)\n")
-        print(f"  UNet       : seen {stat(unet['AGIL']['seen'])}  "
-              f"unseen {stat(unet['AGIL']['unseen'])} "
-              f"({len(unet['AGIL']['seen'])} seeds)")
+        print(f"  UNet       : seen {fmt(unet['AGIL']['seen'])}  "
+              f"unseen {fmt(unet['AGIL']['unseen'])}")
         if agil_ae["seen"]:
-            print(f"  AutoEncoder: seen {stat(agil_ae['seen'])}  "
-                  f"unseen {stat(agil_ae['unseen'])} "
-                  f"({len(agil_ae['seen'])} seeds)")
+            print(f"  AutoEncoder: seen {fmt(agil_ae['seen'])}  "
+                  f"unseen {fmt(agil_ae['unseen'])}")
 
     # ---- AGIL seed extension (VERDICT r3 weak item 3): defaults are
     # unchanged since the r3 re-anchor, so fresh seeds pool with core
@@ -153,9 +155,9 @@ def main(r3="results_r3", r4="results_r4"):
         bc_seen = core["None"]["seen"]
         n = len(pooled["seen"])
         print(f"\n### AGIL at {n} seeds (core pool + agil_ext)\n")
-        print(f"  AGIL seen {stat(pooled['seen'])}  "
-              f"unseen {stat(pooled['unseen'])}")
-        print(f"  BC   seen {stat(bc_seen)} ({len(bc_seen)} seeds)")
+        print(f"  AGIL seen {fmt(pooled['seen'])}  "
+              f"unseen {fmt(pooled['unseen'])}")
+        print(f"  BC   seen {fmt(bc_seen)}")
         checks.append((f"AGIL > BC clean at {n} seeds "
                        f"({np.mean(pooled['seen']):.1f} vs "
                        f"{np.mean(bc_seen):.1f}; ref 56.2 vs 47.8)",
