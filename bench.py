@@ -143,6 +143,13 @@ def main() -> int:
     # the trace showed ~166 slice-start DMAs/iteration from the old form).
     # GABRIL_BENCH_CONCAT_RING=1 restores the old form for A/B (mode-tagged).
     concat_ring = _flag("GABRIL_BENCH_CONCAT_RING")
+    # Carry packing (docs/DESIGN.md §7b lever 1): collapse SceneState's ~59
+    # carry leaves into one array per dtype. FALSIFIED on-chip: 22.6k packed
+    # vs 23.8k unpacked at 256 worlds (reproduced), ~3x compile time — the
+    # carry copies were already overlapped; the pack concatenate is not.
+    # Bitwise identity (tests/test_packing.py); GABRIL_PACK_CARRY=1 re-runs
+    # the probe (mode-tagged so it can't pass as the official number).
+    pack_carry = _flag("GABRIL_PACK_CARRY")
 
     def one_world_step(spec, state, frames, params):
         if skip_render:
@@ -169,6 +176,24 @@ def main() -> int:
             frames0 = jnp.zeros((n_worlds, 180, 320, s), fdt)
         else:
             frames0 = tuple(jnp.zeros((n_worlds, 180, 320), fdt) for _ in range(s))
+
+        if pack_carry:
+            from gabril_carla_tpu.utils.packing import make_carry_packer
+
+            pack, unpack = make_carry_packer(jax.tree.map(lambda a: a[0], states))
+
+            def one_world_packed(spec, packed, frames, params):
+                st, fr = one_world_step(spec, unpack(packed), frames, params)
+                return pack(st), fr
+
+            def body(carry, _):
+                st, fr = jax.vmap(one_world_packed, in_axes=(0, 0, 0, None))(
+                    specs, *carry, params)
+                return (st, fr), None
+
+            (packed, _), _ = jax.lax.scan(
+                body, (jax.vmap(pack)(states), frames0), None, length=n_steps)
+            return jax.vmap(unpack)(packed).ego.pos
 
         def body(carry, _):
             st, fr = carry
@@ -205,6 +230,7 @@ def main() -> int:
                 "vs_baseline": round(steps_per_sec / 20.0, 1),
                 "mode": mode + fallback + block_tag
                 + ("+concat_ring" if concat_ring else "")
+                + ("+packed_carry" if pack_carry else "")
                 + ("+skip_policy" if skip_policy else "")
                 + ("+skip_render" if skip_render else ""),
             }

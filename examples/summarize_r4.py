@@ -120,6 +120,41 @@ def main(r3="results_r3", r4="results_r4"):
                   f"{half / 0.03:.0f}x smaller than the CI half-width at 20-40 "
                   f"rollouts/cell; CI includes both orderings")
 
+    # ---- sparse-gaze ratio tail at 6 seeds (VERDICT r3 weak item 2):
+    # r3 saw ratio 1.0 BELOW 0.5 by ~5.6 at 3 seeds where the reference's
+    # table3 rises monotonically; chain G extends ratios 0.5/0.75/1.0 to 6
+    # seeds on the same expert cache (examples/run_suites_r4g.sh)
+    sparse_r3 = collect(r3, "sparse")
+    tail = collect(r4, "sparse_tail")
+    if tail:
+        pooled_ratio = {}
+        for m in set(sparse_r3) | set(tail):
+            if "%" not in m:
+                continue
+            pooled_ratio[m] = (sparse_r3.get(m, {"seen": []})["seen"]
+                               + tail.get(m, {"seen": []})["seen"])
+        print("\n### Sparse-gaze ratio sweep, tail extended to 6 seeds\n")
+        for m in sorted(pooled_ratio, key=lambda x: float(x.split("%")[1])):
+            mn, sd, n = stat(pooled_ratio[m])
+            print(f"  ratio {m.split('%')[1]:>4}: {mn:.1f} ± {sd:.1f} ({n} seeds)")
+        lo = pooled_ratio.get("Reg@0.3%0.5", [])
+        hi = pooled_ratio.get("Reg@0.3%1.0", [])
+        n_t = min(len(lo), len(hi))
+        if n_t >= 4:
+            d = np.asarray(hi[:n_t]) - np.asarray(lo[:n_t])  # paired by seed
+            t5 = {4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447}.get(n_t, 2.571)
+            half = t5 * d.std(ddof=1) / np.sqrt(n_t)
+            print(f"  ratio 1.0 - 0.5, paired by seed: {d.mean():+.1f} "
+                  f"± {half:.1f} (95% t-CI, {n_t} seeds)")
+            if abs(d.mean()) > half:
+                checks.append((f"ratio 1.0 vs 0.5 tail sign at {n_t} seeds "
+                               f"({d.mean():+.1f} ± {half:.1f}; table3 rises "
+                               "monotonically)", d.mean() >= 0))
+            else:
+                print("  -> tail dip is INSIDE seed noise at 6 seeds: the "
+                      "rising-trend check stands on direction (0 -> 0.5), "
+                      "the 0.5 -> 1.0 segment is flat within the CI")
+
     # ---- junction-traffic re-anchor deltas (VERDICT r3 item 5)
     if jct:
         print("\n### Junction-traffic re-anchor deltas (seen)\n")

@@ -13,14 +13,29 @@ policy exactly like training's frame stack, brake binarization in the codec.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..env.env import DrivingEnv
 from ..ops.raster import analytic_gaze, confounded_overlay, render_frame
+from ..utils.packing import make_carry_packer
 
 WARMUP_STEPS = 10
 HARD_STOP = 2000  # = fps * 100
+
+# Pack the SceneState scan carry into one array per dtype (docs/DESIGN.md
+# §7b lever 1). Measured OFF: the round-4 trace attributed the fused-loop
+# floor to XLA while-loop copy-insertion over the ~59 small state leaves,
+# but the on-chip A/B falsified the lever — packed 22.6k vs unpacked 23.8k
+# steps/s at 256 worlds (reproduced twice), plus ~3x compile time: the
+# carry copies were already overlapped with compute, while the per-
+# iteration pack concatenate serializes on the critical path. Packing is
+# reshape/concat only — bitwise identical rollouts, pinned by
+# tests/test_packing.py — so GABRIL_PACK_CARRY=1 safely re-enables it for
+# future A/Bs on other topologies.
+_PACK_CARRY = os.environ.get("GABRIL_PACK_CARRY", "0").lower() not in ("", "0", "false", "no")
 
 
 def make_rollout_fn(
@@ -112,9 +127,20 @@ def make_rollout_fn(
         return (state, frames), out
 
     def rollout(spec, params, key):
-        carry = init_carry(spec, key)
+        state, frames = init_carry(spec, key)
+        if _PACK_CARRY:
+            pack, unpack = make_carry_packer(state)  # shape/dtype metadata only
+
+            def packed_tick(c, x):
+                (st, fr), out = tick((unpack(c[0]), c[1]), x, spec, params)
+                return (pack(st), fr), out
+
+            (packed, _), trace = jax.lax.scan(
+                packed_tick, (pack(state), frames), None, length=steps
+            )
+            return unpack(packed), trace
         (state, _), trace = jax.lax.scan(
-            lambda c, x: tick(c, x, spec, params), carry, None, length=steps
+            lambda c, x: tick(c, x, spec, params), (state, frames), None, length=steps
         )
         return state, trace
 
