@@ -53,8 +53,12 @@ def main() -> int:
     from gabril_carla_tpu.train.bc import build_bc_models, init_bc_params, make_bc_policy_fn
     from gabril_carla_tpu.utils import default_bc_config
 
-    n_worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    # Defaults are the best honest batch config for the metric (round-4
+    # probe ladder, results_r4/perf_probe.jsonl): throughput is flat in
+    # world count (23.5k@256 -> 24.0k@1024), and a 400-step timed window
+    # quarters the timing noise of the old 100-step one.
+    n_worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 
     cfg = default_bc_config()
     cfg["gaze"]["method"] = "None"
