@@ -23,11 +23,14 @@ def main(argv=None):
     p.add_argument("--gaze", default="mouse", choices=["mouse", "center", "dummy", "gazepoint"])
     p.add_argument("--out", default="dataset/bench2drive_tpu_human")
     p.add_argument("--display_scale", type=int, default=3)
+    p.add_argument("--controller", default="keyboard", choices=["keyboard", "joystick"],
+                   help="driving input device (human_agent.py:120 parity)")
     args = p.parse_args(argv)
 
     specs = load_benchmark_specs(args.routes_xml, [args.route])
     spec = jax.tree.map(lambda a: jnp.asarray(a[0]), specs)
-    HumanLoop(spec, args.out, gaze=args.gaze, display_scale=args.display_scale).run(args.seed)
+    HumanLoop(spec, args.out, gaze=args.gaze, display_scale=args.display_scale,
+              controller=args.controller).run(args.seed)
     return 0
 
 

@@ -1,4 +1,4 @@
-"""Interactive human data collection: pygame display + keyboard driving.
+"""Interactive human data collection: pygame display + keyboard or joystick driving.
 
 Parity with HumanAgent (eval/my_agents/human_agent.py:98-372): real-time
 window at the render resolution, keyboard vehicle control with incremental
@@ -44,6 +44,57 @@ class KeyboardController:
         return np.asarray([throttle, self.steer, brake, 0.0, reverse, 0.0, 0.0], np.float32)
 
 
+class JoystickController:
+    """Wheel/gamepad axes -> 7-action control (human_agent.py:255-309 parity).
+
+    The reference's JoystickControl maps steering from one axis and a signed
+    throttle/brake axis: throttle = 0.8*y for y>0, brake = -y for y<=0, and
+    smooths steering with an EMA (new = 0.99*cache + 0.01*x) under a 0.1
+    deadzone. Axis indices default to the reference's wheel (16 steer,
+    19 inverted throttle) but are configurable per device. The mapping is a
+    pure function of the axis vector so it is unit-testable without
+    hardware; `read()` pulls the axis vector from the first pygame joystick.
+    """
+
+    def __init__(self, steer_axis: int = 16, throttle_axis: int = 19,
+                 deadzone: float = 0.1, smooth: float = 0.99):
+        self.steer_axis = steer_axis
+        self.throttle_axis = throttle_axis
+        self.deadzone = deadzone
+        self.smooth = smooth
+        self.steer = 0.0
+        self.joystick = None
+
+    def attach(self):
+        """Init pygame joystick 0; raises RuntimeError when none present
+        (the reference exits; a loud error is kinder in a library)."""
+        import pygame
+
+        pygame.joystick.init()
+        if pygame.joystick.get_count() == 0:
+            raise RuntimeError("no joystick detected — use controller='keyboard'")
+        self.joystick = pygame.joystick.Joystick(0)
+        self.joystick.init()
+        return self.joystick.get_name()
+
+    def read(self) -> list:
+        import pygame
+
+        pygame.event.pump()
+        return [self.joystick.get_axis(a) for a in range(self.joystick.get_numaxes())]
+
+    def action(self, axes) -> np.ndarray:
+        n = max(self.steer_axis, self.throttle_axis) + 1
+        axes = list(axes) + [0.0] * (n - len(axes))
+        x = axes[self.steer_axis]
+        y = -axes[self.throttle_axis]
+        throttle = 0.8 * y if y > 0 else 0.0
+        brake = -y if y <= 0 else 0.0
+        self.steer = (self.smooth * self.steer + (1.0 - self.smooth) * x
+                      if abs(x) > self.deadzone else 0.0)
+        return np.asarray([throttle, self.steer, brake, 0.0, 0.0, 0.0, 0.0], np.float32)
+
+
 class GazeSource:
     """'center' | 'dummy' | 'mouse' | 'gazepoint' -> [0,1]^2 with hold-last-valid."""
 
@@ -80,13 +131,17 @@ class HumanLoop:
     """Real-time drive-and-record loop."""
 
     def __init__(self, spec, out_dir: str | Path, gaze: str = "mouse",
-                 display_scale: int = 3, fps: float = 20.0, max_points: int = 5):
+                 display_scale: int = 3, fps: float = 20.0, max_points: int = 5,
+                 controller: str = "keyboard"):
+        if controller not in ("keyboard", "joystick"):  # human_agent.py:120
+            raise ValueError(f"controller must be 'keyboard' or 'joystick', got {controller!r}")
         self.spec = spec
         self.out = Path(out_dir)
         self.gaze = GazeSource(gaze)
         self.scale = display_scale
         self.fps = fps
         self.max_points = max_points
+        self.controller = controller
 
     def run(self, seed: int = 0, max_steps: int = 12000) -> Path:
         import pygame
@@ -108,7 +163,11 @@ class HumanLoop:
         screen = pygame.display.set_mode((w, h))
         pygame.display.set_caption("gabril_carla_tpu — drive (arrows; q to quit+save)")
         clock = pygame.time.Clock()
-        ctrl = KeyboardController()
+        if self.controller == "joystick":
+            ctrl = JoystickController()
+            print(f"joystick: {ctrl.attach()}")
+        else:
+            ctrl = KeyboardController()
 
         obs_log, act_log, gaze_log = [], [], []
         running = True
@@ -116,15 +175,18 @@ class HumanLoop:
             for ev in pygame.event.get():
                 if ev.type == pygame.QUIT or (ev.type == pygame.KEYDOWN and ev.key == pygame.K_q):
                     running = False
-            pressed = pygame.key.get_pressed()
-            keys = {"up": pressed[pygame.K_UP], "down": pressed[pygame.K_DOWN],
-                    "left": pressed[pygame.K_LEFT], "right": pressed[pygame.K_RIGHT],
-                    "reverse": pressed[pygame.K_r]}
             mx, my = pygame.mouse.get_pos()
             gaze = self.gaze.sample((mx / max(w - 1, 1), my / max(h - 1, 1)))
 
             frame = np.asarray(render_j(state))  # [180, 320]
-            action = ctrl.action(keys)
+            if self.controller == "joystick":
+                action = ctrl.action(ctrl.read())
+            else:
+                pressed = pygame.key.get_pressed()
+                keys = {"up": pressed[pygame.K_UP], "down": pressed[pygame.K_DOWN],
+                        "left": pressed[pygame.K_LEFT], "right": pressed[pygame.K_RIGHT],
+                        "reverse": pressed[pygame.K_r]}
+                action = ctrl.action(keys)
             obs_log.append((frame * 255).astype(np.uint8))
             g = np.full((self.max_points, 2), -1.0, np.float32)
             g[0] = gaze

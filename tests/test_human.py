@@ -47,3 +47,49 @@ def test_headless_drive_loop(tmp_path, monkeypatch):
     z = np.load(ep / "observations.npz")
     assert z["observations"].shape[0] == 5
     assert (tmp_path / "route_77" / "seed_1" / "stats.json").exists()
+
+def test_joystick_mapping_parity():
+    """JoystickController reproduces human_agent.py:296-309: 0.8*y throttle,
+    -y brake, EMA steer under a 0.1 deadzone."""
+    from gabril_carla_tpu.eval.human import JoystickController
+
+    ctrl = JoystickController()  # defaults: steer axis 16, throttle axis 19
+    axes = [0.0] * 20
+    # full forward (reference inverts the throttle axis: y = -axes[19])
+    axes[19] = -1.0
+    a = ctrl.action(axes)
+    assert a[0] == pytest.approx(0.8) and a[2] == 0.0
+    # full brake
+    axes[19] = 1.0
+    a = ctrl.action(axes)
+    assert a[0] == 0.0 and a[2] == pytest.approx(1.0)
+    # steer EMA: one tick moves 1% toward the axis; inside deadzone resets to 0
+    axes[19] = 0.0
+    axes[16] = 1.0
+    a = ctrl.action(axes)
+    assert a[1] == pytest.approx(0.01)
+    a = ctrl.action(axes)
+    assert a[1] == pytest.approx(0.99 * 0.01 + 0.01)
+    axes[16] = 0.05  # below deadzone
+    a = ctrl.action(axes)
+    assert a[1] == 0.0
+    # short axis vectors (gamepads with < 20 axes) are zero-padded, not IndexError
+    a = ctrl.action([0.0, 0.0])
+    assert a.shape == (7,)
+
+
+def test_joystick_attach_without_hardware_raises():
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    from gabril_carla_tpu.eval.human import JoystickController
+
+    with pytest.raises(RuntimeError):
+        JoystickController().attach()
+
+
+def test_humanloop_rejects_unknown_controller(tmp_path):
+    from gabril_carla_tpu.eval.human import HumanLoop
+
+    with pytest.raises(ValueError):
+        HumanLoop(None, tmp_path, controller="wheel")
