@@ -26,6 +26,10 @@ import numpy as np
 # validated categorical palette (dataviz default instance; fixed slot order)
 SERIES = {"seen": "#2a78d6", "unseen": "#eb6834"}
 PAIR = {"clean": "#2a78d6", "confounded": "#8a63c9"}
+# ordinal single-hue ramp (blue steps 250/400/550 — the documented
+# light-surface ordinal range; the rungs are ordered, not categorical)
+LADDER = {"dense analytic": "#86b6ef", "+ spatial sparsity": "#3987e5",
+          "+ temporal statistics": "#1c5cab"}
 INK, MUTED, GRID = "#1a1a19", "#6b6a60", "#e8e7df"
 
 
@@ -162,11 +166,64 @@ def _curve(data: dict, token: str, xlabel: str, fname: str, out: Path,
     plt.close(fig)
 
 
+def ladder_bar(rungs: dict[str, dict], refs: dict[str, float],
+               bc_anchor: float | None, out: Path):
+    """Gaze-statistics ladder (round-4 headline): each gaze-consuming
+    method's seen score as the analytic gaze is progressively matched to
+    human eye-tracker statistics. Rungs are ordinal -> one-hue ramp;
+    reference (VLM) values are tick markers; the gaze-free BC anchor is a
+    dashed rule shared by every rung."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # fixed method order (worst-case first mirrors RESULTS.md's table)
+    methods = [m for m in ("GRIL", "None:GMD", "Reg@0.3")
+               if all(m in d and d[m]["seen"] for d in rungs.values())]
+    if not methods:
+        return
+    labels = {"GRIL": "GRIL", "None:GMD": "GMD", "Reg@0.3": "GABRIL"}
+    x = np.arange(len(methods))
+    w = 0.26
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=150)
+    for i, (rung, data) in enumerate(rungs.items()):
+        means = [float(np.mean(data[m]["seen"])) for m in methods]
+        stds = [float(np.std(data[m]["seen"])) for m in methods]
+        n = max(len(data[m]["seen"]) for m in methods)
+        ax.bar(x + (i - 1) * w, means, w - 0.03, color=LADDER[rung],
+               label=f"{rung} ({n} seeds)",
+               yerr=stds, error_kw={"ecolor": MUTED, "capsize": 2, "elinewidth": 1})
+        for xi, v in zip(x + (i - 1) * w, means):
+            ax.text(xi, v + 1.2, f"{v:.0f}", ha="center", va="bottom",
+                    fontsize=8, color=INK)
+    ref_xs = [xi for xi, m in enumerate(methods) if labels[m] in refs]
+    ax.scatter(ref_xs, [refs[labels[methods[xi]]] for xi in ref_xs],
+               marker="_", s=700, color=INK, linewidth=1.6, zorder=5,
+               label="reference (VLM gaze)")
+    if bc_anchor is not None:
+        ax.axhline(bc_anchor, color=MUTED, linestyle="--", linewidth=1.2)
+        ax.text(len(methods) - 0.52, bc_anchor + 1.0, f"BC (gaze-free) {bc_anchor:.0f}",
+                ha="right", fontsize=8, color=MUTED)
+    ax.set_xticks(x, [labels[m] for m in methods], color=INK)
+    ax.set_ylabel("driving score (seen)", color=INK, fontsize=10)
+    ax.set_ylim(0, 105)
+    _style(ax)
+    ax.legend(frameon=False, fontsize=8, loc="upper left", labelcolor=INK, ncols=2)
+    fig.tight_layout()
+    fig.savefig(out / "ladder_bar.png")
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--reports", nargs="+", required=True, help="report.json paths (one per seed)")
     p.add_argument("--conf_reports", nargs="*", default=[],
                    help="confounded-eval report.json paths; adds confounded_bar.png")
+    p.add_argument("--ladder_sparse", nargs="*", default=[],
+                   help="spatial-sparsity-rung report.json paths (results_r4/sparse_core)")
+    p.add_argument("--ladder_human", nargs="*", default=[],
+                   help="eye-tracker-statistics-rung report.json paths (results_r4/human_core)")
     p.add_argument("--out", default="figs")
     args = p.parse_args(argv)
     out = Path(args.out)
@@ -178,6 +235,14 @@ def main(argv=None):
     methods_bar(data, out)
     if args.conf_reports:
         confounded_bar(data, _collect(args.conf_reports), out)
+    if args.ladder_sparse and args.ladder_human:
+        bc = data.get("None", {}).get("seen", [])
+        ladder_bar(
+            {"dense analytic": data,
+             "+ spatial sparsity": _collect(args.ladder_sparse),
+             "+ temporal statistics": _collect(args.ladder_human)},
+            refs={"GRIL": 50.1, "GMD": 43.0, "GABRIL": 62.4},  # Original.csv VLM columns
+            bc_anchor=float(np.mean(bc)) if bc else None, out=out)
     _curve(data, "%", "gaze ratio (table 3)", "ratio_curve.png", out)
     _curve(data, "@", "lambda (reg weight)", "lambda_curve.png", out)
     made = [f.name for f in out.glob("*.png")]
