@@ -75,12 +75,28 @@ def test_figures_cli(tmp_path):
         "None": {"seen": 33, "unseen": 20},
         "Reg@0.3": {"seen": 45, "unseen": 30},
     }}))
+    ladder = {}
+    for rung in ("sparse", "human"):
+        lp = tmp_path / f"{rung}.json"
+        lp.write_text(json.dumps({"methods": {
+            "GRIL": {"seen": 59, "unseen": 33},
+            "None:GMD": {"seen": 70, "unseen": 40},
+            "Reg@0.3": {"seen": 72, "unseen": 31},
+        }}))
+        ladder[rung] = str(lp)
+    # dense rung comes from --reports; add its methods there too
+    dense = tmp_path / "dense_extra.json"
+    dense.write_text(json.dumps({"methods": {
+        "GRIL": {"seen": 61, "unseen": 35}, "None:GMD": {"seen": 60, "unseen": 41},
+    }}))
     out = tmp_path / "figs"
-    assert figmain(["--reports", *reps, "--conf_reports", str(conf),
+    assert figmain(["--reports", *reps, str(dense), "--conf_reports", str(conf),
+                    "--ladder_sparse", ladder["sparse"],
+                    "--ladder_human", ladder["human"],
                     "--out", str(out)]) == 0
     names = {f.name for f in out.glob("*.png")}
     assert {"methods_bar.png", "lambda_curve.png", "ratio_curve.png",
-            "confounded_bar.png"} <= names
+            "confounded_bar.png", "ladder_bar.png"} <= names
 
 
 def test_manifest_records_identity_fields(tmp_path):
