@@ -69,6 +69,11 @@ def main():
                    help="eye-tracker-statistics gaze: one fixation that HOLDS its screen "
                         "position between lognormal-duration saccades, with landing/drift "
                         "noise and ~35%% dropout frames (gaze_stats.humanize_gaze_coords)")
+    p.add_argument("--curvature_gaze", action="store_true",
+                   help="collect analytic gaze with curvature-anticipating "
+                        "(tangent-point) road fixations instead of the fixed "
+                        "15 m preview; only affects a FRESH collection — a "
+                        "loaded --store_cache keeps its recorded gaze")
     p.add_argument("--gp_arch", default="autoencoder",
                    choices=["autoencoder", "unet"],
                    help="gaze-predictor backbone for heat-needing methods "
@@ -94,7 +99,8 @@ def main():
     def collect(spec, key):
         def tick(state, _):
             frame = render_frame(spec, state)
-            gaze = analytic_gaze(spec, state)
+            gaze = analytic_gaze(
+                spec, state, curvature_anticipation=args.curvature_gaze)
             action = expert_action(spec, state)
             state = env.step(spec, state, action)
             return state, (frame, action, gaze)
