@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--replay", default=None, help="episode dir: re-execute its actions.npz")
     p.add_argument("--video", action="store_true",
                    help="also write episode.gif (AutonomousAgent's moviepy export parity)")
+    p.add_argument("--curvature_gaze", action="store_true",
+                   help="curvature-anticipating (tangent-point) road fixations "
+                        "instead of the fixed 15 m preview (ops/raster.py)")
     args = p.parse_args(argv)
 
     if args.xosc:
@@ -60,7 +63,8 @@ def main(argv=None):
     def tick(carry, t):
         state = carry
         frame = render_frame(spec, state)
-        gaze = analytic_gaze(spec, state)
+        gaze = analytic_gaze(spec, state,
+                             curvature_anticipation=args.curvature_gaze)
         if replay_actions is not None:
             action = replay_actions[jnp.minimum(t, replay_actions.shape[0] - 1)]
         else:
