@@ -198,6 +198,20 @@ def main(r3="results_r3", r4="results_r4"):
                        f"{np.mean(bc_seen):.1f}; ref 56.2 vs 47.8)",
                        float(np.mean(pooled["seen"])) > float(np.mean(bc_seen))))
 
+    # ---- flipped-defaults pilot (chain L): junction traffic + eye-tracker
+    # gaze + UNet predictor TOGETHER (docs/DEFAULTS_R5.md). A pilot, not an
+    # ordering claim — the round-5 re-anchor owns those.
+    pilot = collect(r4, "flip_pilot")
+    if pilot:
+        table(pilot, "Flipped-defaults pilot (junction + eye-tracker gaze + "
+                     "UNet predictor, jct cache)")
+        ref_pub = {"None": 47.8, "Reg@0.3": 62.4, "AGIL": 56.2, "None:GMD": 43.0}
+        print("  vs published VLM seen column:")
+        for m, ref in ref_pub.items():
+            v = mean_seen(pilot, m)
+            if v is not None:
+                print(f"    {m:>10}: {v:.1f} (ref {ref})")
+
     print("\nRound-4 ordering checks:")
     for name, ok in checks:
         print(f"  [{'x' if ok else ' '}] {name}")
