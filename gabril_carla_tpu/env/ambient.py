@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from . import constants as C
 from .state import ActorPool, SceneState, in_any_window as _in_window
-from .traffic_lights import GREEN, light_state
+from .traffic_lights import GREEN, RED, light_state
 
 AMBIENT_SAME = C.N_VEHICLES - C.N_AMBIENT_SAME - C.N_AMBIENT_OPP  # 16
 AMBIENT_OPP = AMBIENT_SAME + C.N_AMBIENT_SAME  # 20
@@ -151,7 +151,10 @@ def ambient_step(spec, state: SceneState, key) -> SceneState:
     ego_near = (ego_s > spec.jct_cross_s - 35.0) & (ego_s < spec.jct_cross_s + 6.0)
     ego_close = jnp.abs(ego_s - spec.jct_cross_s) < 12.0
     ego_threat = ego_near & ((state.ego.speed > 1.0) | ego_close)
-    blocked = jnp.where(sig >= 0, col_sig == GREEN, ego_threat)
+    # crossers stay blocked through the ego's YELLOW too: in real phasing
+    # (and CARLA) the crossing road holds red until the ego road reaches RED,
+    # so an ego that legally entered on yellow never meets released crossers
+    blocked = jnp.where(sig >= 0, col_sig != RED, ego_threat)
     at_hold = (v.flow_s < spec.jct_hold_s) & (v.flow_s > spec.jct_hold_s - 14.0)
     # recompute (don't latch): a held actor resumes at flow speed the tick
     # its block clears

@@ -23,6 +23,12 @@ from .gaze_predictor import init_gaze_state, make_gaze_train_step
 from .optim import build_optimizer
 from .vqvae import init_vqvae_state, make_vqvae_train_step
 
+# Collapse-gated restore threshold for the gaze predictor (see train()):
+# restore the best-epoch snapshot only when the final train loss is this
+# many times worse than the best epoch's — i.e. only on a genuine mid-run
+# MSE-head blowup, never as silent best-checkpoint selection.
+COLLAPSE_GATE = 2.0
+
 
 class Trainer:
     """mode: 'bc' (BCTrainer parity), 'gaze' (GazePredictorTrainer parity),
@@ -129,14 +135,22 @@ class Trainer:
                                        1 if resume else 0)
         bs = cfg.data["batch_size"]
         last = {}
-        # The frozen gaze predictor keeps its BEST epoch, not its last: at
-        # batch 128 a clipped-but-hot step can still blow the MSE head into
-        # a constant predictor mid-run (loss jumps to the target variance
-        # and pins there — observed seed-dependent, results_r3/core2.log
-        # seed 42 epoch 10), and every heat-consuming method downstream
+        # The frozen gaze predictor uses COLLAPSE-GATED restore (round 5,
+        # retiring the round-3 keep-best-on-train-loss divergence, docs/
+        # PARITY.md): like the reference it keeps its LAST epoch
+        # (train/common/base_trainer.py:164-180 keeps interval/last
+        # checkpoints only) — UNLESS the run demonstrably collapsed. At
+        # batch 128 a clipped-but-hot step can blow the MSE head into a
+        # constant predictor mid-run (loss jumps to the target variance and
+        # pins there — observed seed-dependent, results_r3/core2.log seed 42
+        # epoch 10), and every heat-consuming method downstream
         # (AGIL/ViSaRL/Mask/GMD/IGMD) then evaluates against degenerate
-        # heat. BC/VQ modes keep last-epoch semantics (the reference's
-        # protocol for the policy itself).
+        # heat. The gate: restore the best-epoch snapshot only when the
+        # final loss exceeds COLLAPSE_GATE x the best epoch's loss — a
+        # normally-converged run ends within ~10-20% of its best, a blown
+        # MSE head pins orders of magnitude above it, so the gate separates
+        # them cleanly without selecting checkpoints on train loss.
+        # BC/VQ modes keep plain last-epoch semantics.
         keep_best = self.mode == "gaze"
         self._best_loss, self._best_params, self._best_epoch = float("inf"), None, -1
         start_epoch = self.restore_resume() if resume else 0
@@ -183,7 +197,10 @@ class Trainer:
             if resume_interval and ((epoch + 1) % resume_interval == 0
                                     or (epoch + 1) == epochs):
                 self.save_resume(epoch + 1)
-        if keep_best and self._best_params is not None and self._best_epoch != epochs:
+        collapsed = (keep_best and self._best_params is not None
+                     and self._best_epoch != epochs
+                     and last.get("loss", 0.0) > COLLAPSE_GATE * self._best_loss)
+        if collapsed:
             restored = jax.tree.map(jnp.asarray, self._best_params)
             if self._sharded_device:
                 # keep the replicated sharding the rest of the state carries —
@@ -193,10 +210,12 @@ class Trainer:
 
                 restored = jax.device_put(restored, replicated_sharding(self.mesh))
             self.state = self.state.replace(params=restored)
-            self.save(epochs)  # final checkpoint holds the kept-best params
+            self.save(epochs)  # final checkpoint holds the restored params
             self.logger.print(
-                f"kept best epoch {self._best_epoch} (loss {self._best_loss:.5f}) over "
-                f"final epoch ({last.get('loss', float('nan')):.5f})")
+                f"collapse gate tripped: restored epoch {self._best_epoch} "
+                f"(loss {self._best_loss:.5f}) over final epoch "
+                f"({last.get('loss', float('nan')):.5f} > "
+                f"{COLLAPSE_GATE:g}x best)")
             last = {**last, "loss": self._best_loss, "kept_best_epoch": self._best_epoch}
         return last
 
