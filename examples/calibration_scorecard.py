@@ -72,7 +72,9 @@ def scorecard(title: str, ref: dict, ours: dict) -> None:
     print(f"\n## {title}\n")
     print("| Method | ref seen | ours seen | Δ | ref unseen | ours unseen | Δ | seeds |")
     print("|---|---|---|---|---|---|---|---|")
-    deltas, ref_seen, our_seen = [], [], []
+    deltas, triples = [], []  # (label, ref_seen, our_seen) — one source of
+    # truth for both rank statistics, so label/value alignment can't drift
+    # if the sort key ever changes (ADVICE r4)
     for label, spec in sorted(rows, key=lambda r: -ref[r[0]]["seen"]):
         o, r = ours[spec], ref[label]
         osm, oum = np.mean(o["seen"]), np.mean(o["unseen"])
@@ -80,8 +82,9 @@ def scorecard(title: str, ref: dict, ours: dict) -> None:
               f"| {r['unseen']:.1f} | {oum:.1f} | {oum - r['unseen']:+.1f} "
               f"| {len(o['seen'])} |")
         deltas += [abs(osm - r["seen"]), abs(oum - r["unseen"])]
-        ref_seen.append(r["seen"])
-        our_seen.append(osm)
+        triples.append((label, r["seen"], osm))
+    ref_seen = [t[1] for t in triples]
+    our_seen = [t[2] for t in triples]
     print(f"\nmean |Δ| = {np.mean(deltas):.1f} points; "
           f"seen-ordering Spearman ρ = {spearman(ref_seen, our_seen):.2f} "
           f"(n={len(rows)} methods)")
@@ -91,9 +94,7 @@ def scorecard(title: str, ref: dict, ours: dict) -> None:
     # gaze-statistics ladder, falsification survives matched statistics).
     # The remaining methods consume gaze through heatmaps/regularizers whose
     # information content matches the reference's setting.
-    sub = [(r, o) for (label, _), r, o in zip(
-        sorted(rows, key=lambda x: -ref[x[0]]["seen"]), ref_seen, our_seen)
-        if label not in ("GRIL", "GMD")]
+    sub = [(r, o) for label, r, o in triples if label not in ("GRIL", "GMD")]
     if len(sub) >= 3:
         rs, os_ = zip(*sub)
         print(f"excluding the two falsified-by-information-content methods "

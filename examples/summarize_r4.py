@@ -38,6 +38,34 @@ def mean_seen(data, m):
     return float(np.mean(data[m]["seen"])) if m in data and data[m]["seen"] else None
 
 
+def collect_by_seed(*roots):
+    """{method: {train_seed: seen}} over every report.json under the given
+    suite dirs. Paired statistics join on the report's recorded train_seed —
+    NOT on sorted-glob list position, which silently misaligns pairs when
+    one cell is missing a seed or the dirs carry different seed sets
+    (ADVICE r4). Later dirs win on a duplicate (method, seed)."""
+    import json
+
+    out = {}
+    for root in roots:
+        for rep_path in sorted(Path(root).glob("**/report.json")):
+            rep = json.loads(rep_path.read_text())
+            seed = rep.get("train_seed")
+            if seed is None:
+                continue
+            for m, d in rep.get("methods", {}).items():
+                out.setdefault(m, {})[seed] = float(d["seen"])
+    return out
+
+
+def paired(by_seed_a, by_seed_b):
+    """Join two {seed: value} maps on seed id; returns aligned arrays and
+    the shared seed list (sorted)."""
+    seeds = sorted(set(by_seed_a) & set(by_seed_b))
+    return (np.asarray([by_seed_a[s] for s in seeds]),
+            np.asarray([by_seed_b[s] for s in seeds]), seeds)
+
+
 def main(r3="results_r3", r4="results_r4"):
     r3, r4 = Path(r3), Path(r4)
 
@@ -85,17 +113,21 @@ def main(r3="results_r3", r4="results_r4"):
                        f"({gab_h:.1f} vs {gmd_h:.1f}; ref 62.4 > 43.0)",
                        gab_h >= gmd_h))
 
-    # ---- confounded degradation at 6 paired seeds with a t-CI
-    deg_c = {m: {k: core[m][k] + collect(r3, "deg_clean").get(m, {k: []})[k]
-                 for k in ("seen",)} for m in ("None", "Reg@0.3")}
-    deg_f = {m: {k: conf[m][k] + collect(r3, "deg_conf").get(m, {k: []})[k]
-                 for k in ("seen",)} for m in ("None", "Reg@0.3")}
-    n_pair = min(len(v["seen"]) for v in list(deg_c.values()) + list(deg_f.values()))
+    # ---- confounded degradation at 6 paired seeds with a t-CI,
+    # joined on the recorded train_seed (ADVICE r4: list-position pairing
+    # silently misaligns when seed sets differ)
+    deg_c = collect_by_seed(r3 / "core2", r3 / "rest", r3 / "agil_seeds",
+                            r3 / "deg_clean")
+    deg_f = collect_by_seed(r3 / "conf2", r3 / "deg_conf")
+    pair_seeds = sorted(
+        set.intersection(*[set(deg_c.get(m, {})) for m in ("None", "Reg@0.3")],
+                         *[set(deg_f.get(m, {})) for m in ("None", "Reg@0.3")]))
+    n_pair = len(pair_seeds)
     if n_pair >= 4:
         rel = {}
         for m in ("None", "Reg@0.3"):
-            cl = np.asarray(deg_c[m]["seen"][:n_pair])
-            cf = np.asarray(deg_f[m]["seen"][:n_pair])
+            cl = np.asarray([deg_c[m][s] for s in pair_seeds])
+            cf = np.asarray([deg_f[m][s] for s in pair_seeds])
             rel[m] = (cl - cf) / np.maximum(cl, 1e-6)
         diff = rel["None"] - rel["Reg@0.3"]  # >0 = BC degrades more
         t5 = {4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447}.get(n_pair, 2.571)
@@ -137,11 +169,12 @@ def main(r3="results_r3", r4="results_r4"):
         for m in sorted(pooled_ratio, key=lambda x: float(x.split("%")[1])):
             mn, sd, n = stat(pooled_ratio[m])
             print(f"  ratio {m.split('%')[1]:>4}: {mn:.1f} ± {sd:.1f} ({n} seeds)")
-        lo = pooled_ratio.get("Reg@0.3%0.5", [])
-        hi = pooled_ratio.get("Reg@0.3%1.0", [])
-        n_t = min(len(lo), len(hi))
+        ratio_by_seed = collect_by_seed(r3 / "sparse", r4 / "sparse_tail")
+        v10, v05, t_seeds = paired(ratio_by_seed.get("Reg@0.3%1.0", {}),
+                                   ratio_by_seed.get("Reg@0.3%0.5", {}))
+        n_t = len(t_seeds)
         if n_t >= 4:
-            d = np.asarray(hi[:n_t]) - np.asarray(lo[:n_t])  # paired by seed
+            d = v10 - v05  # ratio 1.0 minus 0.5, joined on train_seed
             t5 = {4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447}.get(n_t, 2.571)
             half = t5 * d.std(ddof=1) / np.sqrt(n_t)
             print(f"  ratio 1.0 - 0.5, paired by seed: {d.mean():+.1f} "
