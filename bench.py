@@ -20,7 +20,9 @@ import time
 
 import numpy as np
 
-ROUTES_XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
+from gabril_carla_tpu.data.vendored import routes_path
+
+ROUTES_XML = str(routes_path())  # vendored routes220.json.gz, reference XML fallback
 
 
 def main() -> int:

@@ -1,8 +1,9 @@
 """Calibration scorecard: our closed-loop scores vs every published row.
 
-Reads the reference's published driving-score tables
-(/root/reference/draw_plot/data/{Original,Confounded}.csv, VLM columns —
-the setting matching this framework's analytic/pseudo gaze) and the
+Reads the published driving-score tables (vendored
+gabril_carla_tpu/data/benchmark/published/{Original,Confounded}.csv, copies
+of the reference's draw_plot/data CSVs; VLM columns — the setting matching
+this framework's analytic/pseudo gaze) and the
 final-semantics re-anchor reports (results_r3/{core2,conf2}), and prints
 one table per split with per-method deltas plus summary statistics
 (mean absolute delta, Spearman rank correlation of the method ordering).
@@ -23,7 +24,8 @@ from pathlib import Path
 
 import numpy as np
 
-REF = Path("/root/reference/draw_plot/data")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from gabril_carla_tpu.data.vendored import published_csv  # noqa: E402
 # reference CSV label -> our method spec
 METHODS = {
     "BC": "None",
@@ -38,7 +40,7 @@ METHODS = {
 
 def load_ref(name: str) -> dict[str, dict[str, float]]:
     out = {}
-    with open(REF / f"{name}.csv") as f:
+    with open(published_csv(name)) as f:
         for row in csv.DictReader(f):
             if row["Method"] in METHODS:
                 out[row["Method"]] = {"seen": float(row["Seen_VLM"]),

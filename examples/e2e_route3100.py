@@ -46,7 +46,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--collect_steps", type=int, default=600)
     p.add_argument("--eval_steps", type=int, default=1200)
-    p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--routes_xml", default=None)
     p.add_argument("--log_dir", default="runs_e2e")
     args = p.parse_args()
 

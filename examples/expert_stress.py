@@ -31,7 +31,7 @@ def main():
     from gabril_carla_tpu.env.world import load_benchmark_specs
 
     p = argparse.ArgumentParser()
-    p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--routes_xml", default=None)
     p.add_argument("--routes", type=int, nargs="+", default=[3099, 3100])
     p.add_argument("--seeds", type=int, default=16)
     p.add_argument("--steps", type=int, default=900)

@@ -39,7 +39,7 @@ def main():
     from gabril_carla_tpu.utils import default_bc_config
 
     p = argparse.ArgumentParser()
-    p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--routes_xml", default=None)
     p.add_argument("--junction_traffic", action="store_true",
                    help="ambient junction crossing traffic in collection AND eval worlds "
                         "(env/world.py flow-slot-0 synthesis); pair with a junction-specific "
@@ -69,6 +69,13 @@ def main():
                    help="eye-tracker-statistics gaze: one fixation that HOLDS its screen "
                         "position between lognormal-duration saccades, with landing/drift "
                         "noise and ~35%% dropout frames (gaze_stats.humanize_gaze_coords)")
+    p.add_argument("--misperceive_gaze", action="store_true",
+                   help="SEMANTIC gaze-error rung (ladder rung 4): the full "
+                        "eye-tracker statistics of --human_gaze PLUS "
+                        "misperception — attention lapses parking gaze on "
+                        "the road and wrong-actor fixations biased toward "
+                        "actors near the true hazard "
+                        "(gaze_stats.misperceive_gaze_coords)")
     p.add_argument("--curvature_gaze", action="store_true",
                    help="collect analytic gaze with curvature-anticipating "
                         "(tangent-point) road fixations instead of the fixed "
@@ -149,8 +156,9 @@ def main():
     # rising ratio curve rides sparse human/VLM gaze; the dense analytic gaze
     # (road fixation every frame) saturates at 25% of frames. This keeps one
     # top-hazard fixation per frame and drops ~35% of frames entirely.
-    if args.sparse_gaze or args.human_gaze:
+    if args.sparse_gaze or args.human_gaze or args.misperceive_gaze:
         from gabril_carla_tpu.data.gaze_stats import (humanize_gaze_coords,
+                                                      misperceive_gaze_coords,
                                                       sparsify_gaze_coords)
 
         store.finalize()
@@ -159,7 +167,11 @@ def main():
         # shared by the seeds of THIS run, but distinct across suite
         # invocations with different seed lists (ADVICE r3: don't reuse one
         # fixed pattern for every variant).
-        if args.human_gaze:
+        if args.misperceive_gaze:
+            g = misperceive_gaze_coords(store.flat_gazes, lengths=store.lengths,
+                                        seed=args.train_seed[0])
+            tag = "misperceive_gaze"
+        elif args.human_gaze:
             g = humanize_gaze_coords(store.flat_gazes, lengths=store.lengths,
                                      seed=args.train_seed[0])
             tag = "human_gaze"

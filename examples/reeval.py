@@ -81,7 +81,7 @@ def main():
                    help="suite roots holding seed*/ dirs (or themselves seed dirs); "
                         "evaluating several suites in one process reuses compiled "
                         "rollouts across same-architecture checkpoints")
-    p.add_argument("--routes_xml", default="/root/reference/vlm_gaze/eval/routes/bench2drive220.xml")
+    p.add_argument("--routes_xml", default=None)
     p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
     p.add_argument("--eval_steps", type=int, default=1600)
     p.add_argument("--methods", nargs="*", default=None,

@@ -23,7 +23,9 @@ from ..eval.agent import BCAgent
 from ..eval.rollout import make_rollout_fn
 from ..eval.stats import aggregate_scores, route_record, write_stats_json
 
-DEFAULT_XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
+from ..data.vendored import routes_path
+
+DEFAULT_XML = str(routes_path())  # vendored routes220.json.gz, reference XML fallback
 
 
 def main(argv=None):

@@ -145,3 +145,109 @@ def humanize_gaze_coords(
     out[rng.random(len(gazes)) < blank_frac] = -1.0
     gazes[:] = out
     return gazes
+
+
+# ---- semantic misperception (misperceive_gaze_coords defaults). The rung
+# ABOVE temporal statistics in the gaze-realism ladder (RESULTS.md): where
+# humanize_gaze_coords degrades the *sampling* of a perfect hazard pointer,
+# this degrades the *supervision content itself* — the fixated target is
+# sometimes the wrong actor or no hazard at all, modeling human
+# misperception rather than tracker noise. Constants are taken from the
+# hazard-perception literature, not fit to benchmark results:
+#   * scripted-hazard studies consistently find a 20-40% share of hazards
+#     that receive no (timely) fixation even from attentive drivers, and
+#     experienced drivers still foveate non-hazard vehicles/clutter a
+#     substantial fraction of scanning time;
+#   * attention lapses / mind-wandering episodes occupy O(10%) of driving
+#     time in on-road self-report + gaze studies, during which gaze parks
+#     on the road ahead regardless of events.
+P_LAPSE = 0.12     # per-fixation probability of an attention lapse
+P_WRONG = 0.30     # probability the chosen fixation is NOT the top hazard
+SIGMA_CONFUSE = 0.15  # screen-distance scale of wrong-actor confusion
+                      # (fraction of image width): confusion is biased
+                      # toward actors NEAR the true hazard (crowding), not
+                      # uniform over the scene
+
+
+def misperceive_gaze_coords(
+    gazes: np.ndarray,
+    lengths: np.ndarray | None = None,
+    dt: float = 0.05,
+    blank_frac: float = BLANK_FRAC,
+    p_lapse: float = P_LAPSE,
+    p_wrong: float = P_WRONG,
+    sigma_confuse: float = SIGMA_CONFUSE,
+    seed: int = 123,
+) -> np.ndarray:
+    """Dense analytic gaze [T, P*2] -> SEMANTICALLY-ERRED eye-tracker stream.
+
+    A strict superset of :func:`humanize_gaze_coords` (same lognormal
+    fixation durations, saccade landing noise, intra-fixation hold+drift,
+    tracker dropout), differing only in *which point* each saccade targets:
+
+      * with probability ``p_lapse`` the fixation is an attention lapse —
+        gaze parks on the road point (analytic column 0) for the whole
+        fixation, regardless of hazards;
+      * otherwise, with probability ``p_wrong`` (and >= 2 valid actors) the
+        target is a WRONG actor, sampled among the non-top hazard points
+        with weights exp(-d/sigma_confuse) for screen distance d to the
+        true top hazard — confusion concentrates on nearby/cluttered
+        actors;
+      * otherwise the top hazard, as in humanize_gaze_coords.
+
+    The supervision content therefore no longer equals the causal hazard
+    state: a regressor (GRIL) or gate (GMD) consuming this stream faces the
+    same information ceiling as one trained on real human fixations —
+    reactions correlated with, not equal to, the hazard state. This is the
+    next rung the round-4 ladder identified (RESULTS.md: the GRIL/GMD
+    over-performance survives matched sampling statistics; only changing
+    the supervision itself can close it). Reference gaze sources:
+    vlm_gaze/eval/sensor.py:6-62 (Gazepoint), saliency_pipeline (VLM).
+
+    Column layout as in the analytic gaze: point 0 = road fixation, points
+    1.. = hazard-ranked actors; -1 padding marks invalid points.
+    Returns the same array (mutated) for chaining.
+    """
+    rng = np.random.default_rng(seed)
+    n_pts = gazes.shape[1] // 2
+    pts = gazes.reshape(len(gazes), n_pts, 2)
+    road = pts[:, 0].copy()
+    actors = pts[:, 1:].copy()  # [T, P-1, 2], rank 0 = top hazard
+    out = np.full_like(gazes, -1.0)
+
+    if lengths is None:
+        lengths = np.asarray([len(gazes)], np.int64)
+    start = 0
+    for n in np.asarray(lengths, np.int64):
+        t = start
+        while t < start + n:
+            dur_s = float(np.clip(
+                FIX_MEDIAN_S * np.exp(rng.normal(0.0, FIX_LOG_SIGMA)),
+                FIX_MIN_S, FIX_MAX_S))
+            dur = max(1, int(round(dur_s / dt)))
+            end = min(t + dur, start + int(n))
+
+            valid = (actors[t] >= 0.0).all(axis=1)
+            point = None
+            if rng.random() < p_lapse or not valid.any():
+                if (road[t] >= 0.0).all():
+                    point = road[t]
+            elif rng.random() < p_wrong and valid.sum() >= 2:
+                top = actors[t, np.argmax(valid)]  # first valid = top rank
+                others = np.flatnonzero(valid)[1:]
+                d = np.linalg.norm(actors[t, others] - top[None], axis=1)
+                w = np.exp(-d / sigma_confuse)
+                point = actors[t, rng.choice(others, p=w / w.sum())]
+            else:
+                point = actors[t, np.argmax(valid)]
+
+            if point is not None and (point >= 0.0).all():
+                land = np.clip(point + rng.normal(0.0, SIGMA_LAND, 2), 0.0, 1.0)
+                drift = np.cumsum(rng.normal(0.0, SIGMA_DRIFT, (end - t, 2)), axis=0)
+                out[t:end, 0:2] = np.clip(land[None] + drift, 0.0, 1.0)
+            t = end
+        start += int(n)
+
+    out[rng.random(len(gazes)) < blank_frac] = -1.0
+    gazes[:] = out
+    return gazes

@@ -245,10 +245,15 @@ _PARKED_TOWN = re.compile(r"^(\w+) = \[")
 
 
 def load_parked_tables(path: str) -> dict[str, np.ndarray]:
-    """Parse the reference's parked-vehicle tables (leaderboard
+    """Parked-vehicle tables as {town: [K, 3] (x, y, yaw_rad)} arrays —
+    either the vendored compiled .npz (data/benchmark/parked_vehicles.npz)
+    or a live parse of the reference's coordinate literals (leaderboard
     utils/parked_vehicles.py: per-town lists of {'location', 'rotation',
-    'mesh'} slots) into {town: [K, 3] (x, y, yaw_rad)} arrays. Data, not code:
-    read at runtime from the reference checkout when available."""
+    'mesh'} slots). Data, not code."""
+    if str(path).endswith(".npz"):
+        from ..data.vendored import load_parked_npz
+
+        return load_parked_npz(path)
     towns: dict[str, list] = {}
     cur = None
     with open(path) as f:
@@ -1069,17 +1074,38 @@ def stack_specs(specs: list[WorldSpec]) -> WorldSpec:
     return jax.tree.map(lambda *xs: np.stack(xs), *specs)
 
 
-def load_benchmark_specs(xml_path: str, route_ids: list[int],
+def parse_routes(path: str, route_ids: list[int] | None = None) -> dict[int, dict]:
+    """Route-table dispatch: the vendored routes220.json.gz or the
+    reference's bench2drive220.xml — identical raw-route schema either way
+    (equality-tested in tests/test_vendored_data.py)."""
+    if str(path).endswith(".json.gz"):
+        from ..data.vendored import load_routes_json
+
+        return load_routes_json(path, route_ids)
+    return parse_routes_xml(path, route_ids)
+
+
+def load_benchmark_specs(xml_path: str | None = None, route_ids: list[int] = (),
                          parked_tables_path: str | None = "auto",
                          junction_traffic: bool | None = None) -> WorldSpec:
-    routes = parse_routes_xml(xml_path, route_ids)
+    """``xml_path=None`` resolves the vendored route table (reference XML
+    as fallback — data/vendored.py); explicit paths may be either format."""
+    if xml_path is None:
+        from ..data.vendored import routes_path
+
+        xml_path = str(routes_path())
+    routes = parse_routes(xml_path, list(route_ids))
     tables: dict[str, np.ndarray] = {}
     if parked_tables_path == "auto":
         import os
 
+        from ..data.vendored import parked_tables_path as _vendored_parked
+
         cand = os.path.join(os.path.dirname(xml_path), "..", "leaderboard", "utils",
                             "parked_vehicles.py")
-        parked_tables_path = cand if os.path.exists(cand) else None
+        found = _vendored_parked()
+        parked_tables_path = (str(found) if found is not None
+                              else cand if os.path.exists(cand) else None)
     if parked_tables_path:
         tables = load_parked_tables(parked_tables_path)
     # pad every route to the batch's max scenario count so the specs stack

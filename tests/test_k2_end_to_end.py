@@ -29,17 +29,19 @@ from gabril_carla_tpu.env.ambient import AMBIENT_SAME, AMBIENT_OPP
 from gabril_carla_tpu.env.criteria import compute_score
 from gabril_carla_tpu.env.expert import expert_action
 from gabril_carla_tpu.env.state import in_any_window
-from gabril_carla_tpu.env.world import (build_world_spec, parse_routes_xml,
+from gabril_carla_tpu.env.world import (build_world_spec, parse_routes,
                                         resample_polyline)
 
-XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
+from gabril_carla_tpu.data.vendored import routes_path
+
+XML = str(routes_path())
 pytestmark = pytest.mark.skipif(
     not __import__("os").path.exists(XML), reason="reference routes absent")
 
 
 def composite_spec():
     """Route 24211 (DynamicObjectCrossing @ s=13) + HardBreakRoute @ s=95."""
-    r = parse_routes_xml(XML, [24211])[24211]
+    r = parse_routes(XML, [24211])[24211]
     xy = resample_polyline(r["waypoints"], 1.0)
     p2 = xy[95]
     r2 = dict(r)

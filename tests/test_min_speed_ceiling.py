@@ -31,7 +31,9 @@ from gabril_carla_tpu.env.criteria import compute_score
 from gabril_carla_tpu.env.expert import expert_action
 from gabril_carla_tpu.env.world import load_benchmark_specs
 
-ROUTES_XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
+from gabril_carla_tpu.data.vendored import routes_path
+
+ROUTES_XML = str(routes_path())
 
 pytestmark = pytest.mark.skipif(not Path(ROUTES_XML).exists(),
                                 reason="reference routes XML not present")

@@ -15,9 +15,10 @@ import pytest
 from gabril_carla_tpu.env import DrivingEnv
 from gabril_carla_tpu.env.criteria import compute_score
 from gabril_carla_tpu.env.expert import expert_action
-from gabril_carla_tpu.env.world import SCENARIO_TYPES, build_world_spec, parse_routes_xml
+from gabril_carla_tpu.data.vendored import routes_path
+from gabril_carla_tpu.env.world import SCENARIO_TYPES, build_world_spec, parse_routes
 
-XML = "/root/reference/vlm_gaze/eval/routes/bench2drive220.xml"
+XML = str(routes_path())  # vendored routes220.json.gz (reference XML fallback)
 
 
 def straight(n=300):
@@ -62,7 +63,7 @@ def drive_expert(spec, steps=700):
 @pytest.mark.skipif(not os.path.exists(XML), reason="reference routes absent")
 def test_all_220_routes_compile():
     """Every route of bench2drive220 builds a WorldSpec (no silent skips)."""
-    routes = parse_routes_xml(XML)
+    routes = parse_routes(XML)
     assert len(routes) == 220
     unknown = []
     for rid, r in routes.items():

@@ -9,7 +9,9 @@ import pytest
 from gabril_carla_tpu.env.world import SCENARIO_TYPES, build_world_spec
 from gabril_carla_tpu.env.xosc import load_xosc
 
-REF_EXAMPLES = Path("/root/reference/vlm_gaze/eval/srunner/examples")
+from gabril_carla_tpu.data.vendored import xosc_example
+
+REF_EXAMPLES = xosc_example("CyclistCrossing.xosc").parent  # vendored, reference fallback
 
 SYNTH = """<?xml version="1.0"?>
 <OpenSCENARIO>
