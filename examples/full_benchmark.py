@@ -40,10 +40,12 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--routes_xml", default=None)
-    p.add_argument("--junction_traffic", action="store_true",
+    p.add_argument("--junction_traffic", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="ambient junction crossing traffic in collection AND eval worlds "
-                        "(env/world.py flow-slot-0 synthesis); pair with a junction-specific "
-                        "--store_cache, the collected frames differ")
+                        "(env/world.py flow-slot-0 synthesis); DEFAULT ON since round 5 "
+                        "(docs/DEFAULTS_R5.md §1); --no-junction_traffic restores the "
+                        "junction-free env of the r3/r4 anchors (their caches differ)")
     p.add_argument("--train_seeds", type=int, nargs="*", default=list(range(200, 212)))
     p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
     p.add_argument("--collect_steps", type=int, default=900)
@@ -65,10 +67,14 @@ def main():
                    help="table-3 control: replace the dense analytic gaze with a sparse "
                         "human-like signal — sole top-hazard fixation, no road point, ~35%% "
                         "of frames dropped (eye-tracker validity statistics)")
-    p.add_argument("--human_gaze", action="store_true",
+    p.add_argument("--human_gaze", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="eye-tracker-statistics gaze: one fixation that HOLDS its screen "
                         "position between lognormal-duration saccades, with landing/drift "
-                        "noise and ~35%% dropout frames (gaze_stats.humanize_gaze_coords)")
+                        "noise and ~35%% dropout frames (gaze_stats.humanize_gaze_coords). "
+                        "DEFAULT ON since round 5 (docs/DEFAULTS_R5.md §2 — the "
+                        "statistics-matched instrument); --no-human_gaze restores the "
+                        "dense analytic oracle stream; gaze-free BC is untouched either way")
     p.add_argument("--misperceive_gaze", action="store_true",
                    help="SEMANTIC gaze-error rung (ladder rung 4): the full "
                         "eye-tracker statistics of --human_gaze PLUS "
@@ -76,14 +82,16 @@ def main():
                         "the road and wrong-actor fixations biased toward "
                         "actors near the true hazard "
                         "(gaze_stats.misperceive_gaze_coords)")
-    p.add_argument("--curvature_gaze", action="store_true",
+    p.add_argument("--curvature_gaze", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="collect analytic gaze with curvature-anticipating "
                         "(tangent-point) road fixations instead of the fixed "
                         "15 m preview; only affects a FRESH collection — a "
                         "loaded --store_cache keeps its recorded gaze")
-    p.add_argument("--gp_arch", default="autoencoder",
+    p.add_argument("--gp_arch", default="unet",
                    choices=["autoencoder", "unet"],
-                   help="gaze-predictor backbone for heat-needing methods "
+                   help="gaze-predictor backbone for heat-needing methods; "
+                        "DEFAULT unet since round 5 (docs/DEFAULTS_R5.md §3) "
                         "(the reference ships a UNet it never wires; "
                         "model.arch=unet trains it for comparison)")
     p.add_argument("--clip_norm", type=float, default=None,

@@ -21,6 +21,20 @@ def main(argv=None):
         return 1
     agg = aggregate_scores(records)
     print(json.dumps(agg, indent=2))
+    # duration_system caveat (VERDICT r4 weak item 6): the vmapped evaluator
+    # amortizes one batched wall-clock over its rollouts, so per-route
+    # duration_system is NOT a per-route wall time like the reference's
+    # single-server runs (statistics_manager.py meta durations) — warn any
+    # consumer comparing wall times, not just the record field.
+    import sys
+
+    n_amort = sum(1 for r in records
+                  if r.get("meta", {}).get("duration_system_mode") == "batch_amortized")
+    if n_amort:
+        print(f"note: duration_system is batch-amortized (one vmapped wall "
+              f"clock / n rollouts) on {n_amort}/{len(records)} records — "
+              f"not comparable to the reference's per-route wall times",
+              file=sys.stderr)
     return 0
 
 

@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--xosc", default=None,
                    help="evaluate on an OpenSCENARIO .xosc storyboard (env/xosc.py "
                         "subset) instead of benchmark routes")
+    p.add_argument("--junction_traffic", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="ambient junction crossing traffic in the eval worlds; "
+                        "DEFAULT ON since round 5 (docs/DEFAULTS_R5.md §1) — "
+                        "match it to the checkpoint's training distribution")
     p.add_argument("--seeds", type=int, nargs="*", default=None)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out", default="eval_out")
@@ -83,7 +88,8 @@ def main(argv=None):
     else:
         route_ids = sorted({r for r, _ in pairs})
         specs = jax.tree.map(jax.numpy.asarray,
-                             load_benchmark_specs(args.routes_xml, route_ids))
+                             load_benchmark_specs(args.routes_xml, route_ids,
+                                                  junction_traffic=args.junction_traffic or None))
     idx_of = {r: i for i, r in enumerate(route_ids)}
 
     needs_heat = agent.cfg.gaze["method"] in ("Mask", "ViSaRL", "AGIL") or \
