@@ -47,13 +47,18 @@ class KeyboardController:
 class JoystickController:
     """Wheel/gamepad axes -> 7-action control (human_agent.py:255-309 parity).
 
-    The reference's JoystickControl maps steering from one axis and a signed
-    throttle/brake axis: throttle = 0.8*y for y>0, brake = -y for y<=0, and
-    smooths steering with an EMA (new = 0.99*cache + 0.01*x) under a 0.1
-    deadzone. Axis indices default to the reference's wheel (16 steer,
-    19 inverted throttle) but are configurable per device. The mapping is a
-    pure function of the axis vector so it is unit-testable without
-    hardware; `read()` pulls the axis vector from the first pygame joystick.
+    The reference's JoystickControl maps steering from one input and a
+    signed throttle/brake input: throttle = 0.8*y for y>0, brake = -y for
+    y<=0, and smooths steering with an EMA (new = 0.99*cache + 0.01*x)
+    under a 0.1 deadzone. Its indices address the BUTTONS+AXES concatenated
+    vector — get_current_controller_state appends buttons first, then axes
+    — and `read()` returns the same concatenation here, so the default
+    indices (16 steer, 19 inverted throttle) land on the same physical
+    controls as the reference's wheel (ADVICE r4: an axes-only vector would
+    silently shift them on any device with buttons). Indices are
+    configurable per device. The mapping is a pure function of the input
+    vector so it is unit-testable without hardware; `read()` pulls it from
+    the first pygame joystick.
     """
 
     def __init__(self, steer_axis: int = 16, throttle_axis: int = 19,
@@ -78,10 +83,16 @@ class JoystickController:
         return self.joystick.get_name()
 
     def read(self) -> list:
+        """Buttons then axes, concatenated — the reference's
+        get_current_controller_state layout, which its default indices
+        16/19 are calibrated against."""
         import pygame
 
         pygame.event.pump()
-        return [self.joystick.get_axis(a) for a in range(self.joystick.get_numaxes())]
+        return ([float(self.joystick.get_button(b))
+                 for b in range(self.joystick.get_numbuttons())]
+                + [self.joystick.get_axis(a)
+                   for a in range(self.joystick.get_numaxes())])
 
     def action(self, axes) -> np.ndarray:
         n = max(self.steer_axis, self.throttle_axis) + 1

@@ -53,7 +53,10 @@ def test_joystick_mapping_parity():
     -y brake, EMA steer under a 0.1 deadzone."""
     from gabril_carla_tpu.eval.human import JoystickController
 
-    ctrl = JoystickController()  # defaults: steer axis 16, throttle axis 19
+    # defaults index the BUTTONS+AXES concatenated vector read() produces
+    # (buttons first — the reference's get_current_controller_state layout),
+    # so 16/19 land on the same wheel controls as the reference's defaults
+    ctrl = JoystickController()
     axes = [0.0] * 20
     # full forward (reference inverts the throttle axis: y = -axes[19])
     axes[19] = -1.0
