@@ -67,12 +67,21 @@ ROWS_PAD = 512  # 512 * 128 = 65536 >= N_PIX
 # fits; otherwise the tile falls back to the full rolled loop.  Tile 6 runs
 # the valid-row prefix (128 when the crossing flow is disabled).
 NEAR_PREFIX = (56, 72, 120)
+# far-decimated variant (raster.FAR_DECIMATE_R2): the distance-sorted tail
+# beyond 40 m is halved host-side, so the deep classes need fewer rows —
+# class 2 120 -> 88, class 3 cap 128 -> 96 (docs/DESIGN.md §7b sizing).
+# Runtime count gating is unchanged: a scene whose counts exceed a prefix
+# falls back to the full rolled loop, so the smaller statics are a perf
+# choice, never a correctness one.
+NEAR_PREFIX_DECIMATED = (56, 72, 88)
+CAP3, CAP3_DECIMATED = 128, 96
 
 LANE_WIDTH = 3.5
 
 
 def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
-                   n_actors: int, view_route: int, block_rows: int = BLOCK_ROWS):
+                   n_actors: int, view_route: int, block_rows: int = BLOCK_ROWS,
+                   far_decimate: bool = False):
     """One [block_rows, LANES] tile of the frame.
 
     cam_ref:   [16, 1]  camera basis + weather scalars + per-threshold row
@@ -163,7 +172,8 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
     def ground_loop(_):
         # tiles share a prefix class; counts validate the static prefix
         # (nested conds — the proven scalar control flow on this toolchain)
-        n0, n1, n2 = NEAR_PREFIX
+        n0, n1, n2 = NEAR_PREFIX_DECIMATED if far_decimate else NEAR_PREFIX
+        cap3 = CAP3_DECIMATED if far_decimate else CAP3
 
         def class0(_):
             return jax.lax.cond(cam_ref[11, 0] <= n0, run_to(n0, True), rolled_full, 0)
@@ -176,8 +186,9 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
 
         def class3(_):
             # deepest ground tile: all valid rows (invalid-biased rows sort
-            # to the tail, so a disabled crossing flow skips its 32 rows)
-            return jax.lax.cond(cam_ref[14, 0] <= 128.5, run_to(128, True),
+            # to the tail, so a disabled crossing flow skips its 32 rows —
+            # and, decimated, so do the dropped far rows)
+            return jax.lax.cond(cam_ref[14, 0] <= cap3 + 0.5, run_to(cap3, True),
                                 run_to(view, True), 0)
 
         return jax.lax.cond(
@@ -259,10 +270,10 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
 
 
 @functools.partial(jax.jit, static_argnames=("view", "n_actors", "view_route", "interpret",
-                                             "block_rows"))
+                                             "block_rows", "far_decimate"))
 def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actors: int,
                         view_route: int = 128, interpret: bool = False,
-                        block_rows: int = BLOCK_ROWS):
+                        block_rows: int = BLOCK_ROWS, far_decimate: bool = False):
     """cam_scalars [16], route_cols [view, 8], actor_boxes [n_actors, 8]
     -> grayscale frame [H, W] in [0, 1].
 
@@ -275,7 +286,8 @@ def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actor
     are identical for any value (parity-tested)."""
     assert ROWS_PAD % block_rows == 0 and 8192 % (block_rows * LANES) in (0, 8192)
     kernel = functools.partial(_render_kernel, view=view, n_actors=n_actors,
-                               view_route=view_route, block_rows=block_rows)
+                               view_route=view_route, block_rows=block_rows,
+                               far_decimate=far_decimate)
     img = pl.pallas_call(
         kernel,
         interpret=interpret,

@@ -213,6 +213,17 @@ K_BOX = 32  # kernel composite loop bound: K nearest visible boxes survive
 # full loop).  Thresholds below pair with pallas_raster.NEAR_PREFIX.
 NEAR_THR2 = (14.6 * 14.6, 20.0 * 20.0, 47.0 * 47.0)
 
+# Far-field route decimation (docs/DESIGN.md §7b lever 3b, flag-gated
+# GABRIL_FAR_DECIMATE=1): beyond FAR_DECIMATE_R (40 m) every other 1 m route
+# row is biased out of the terrain argmin, halving the deep tail of the
+# distance-sorted list so the kernel's class-2/3 prefixes shrink 120/128 ->
+# 88/96 (−15% terrain-loop rows). NOT output-exact: a pixel whose winner
+# was a dropped row takes the 2 m-neighbour's line instead — identical road/
+# corridor attributes on straights (collinear rows share the line), a
+# ≤1 m dash-phase shift and sub-cm lateral error on curves, all beyond
+# 40 m ≈ a few horizon pixels (tests/test_far_decimate.py bounds it).
+FAR_DECIMATE_R2 = 40.0 * 40.0
+
 
 def _compact_boxes(boxes):
     """Keep the K_BOX nearest on-screen valid boxes (static shape).
@@ -233,7 +244,8 @@ def _compact_boxes(boxes):
     return out.at[:, 6].set(valid.astype(jnp.float32))
 
 
-def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
+def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather,
+                   far_decimate: bool = False):
     """Assemble the kernel operands: hoisted route quadratic + compact boxes.
 
     The terrain-distance argmin inside the kernel compares
@@ -256,6 +268,16 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather):
     qd = jax.lax.dynamic_slice(spec.route_dir, (start, 0), (ROUTE_VIEW, 2))
     valid = ((start + jnp.arange(ROUTE_VIEW)) < spec.n_route).astype(jnp.float32)
     c3 = jnp.sum(q * q, axis=1) + (1.0 - valid) * 1e12
+    if far_decimate:
+        # bias every other far row out of the argmin (see FAR_DECIMATE_R2);
+        # the window endpoints (rows 0 and n_valid-1) are exempt — their
+        # forced front ranking relies on them staying winnable (a pixel past
+        # a polyline end takes road attributes from the end's extension)
+        ridx = jnp.arange(ROUTE_VIEW)
+        n_valid_r = jnp.clip(spec.n_route - start, 1, ROUTE_VIEW)
+        drop = ((ridx % 2 == 1) & (jnp.sum(q * q, axis=1) > FAR_DECIMATE_R2)
+                & (ridx != n_valid_r - 1))
+        c3 = c3 + drop.astype(jnp.float32) * 1e12
     e3 = qd[:, 0] * q[:, 1] - qd[:, 1] * q[:, 0]
     # column 6 carries the ORIGINAL row index (the rows get distance-sorted
     # below): is_route = col6 < ROUTE_VIEW, dash phase = start_s + col6.
@@ -344,27 +366,39 @@ def render_frame(spec, state) -> jnp.ndarray:
     )
     weather = weather_now(spec, state)
 
+    # GABRIL_FAR_DECIMATE=1 (trace-time): halve the >40 m route rows so the
+    # kernel's deep prefixes shrink (DESIGN §7b lever 3b) — NOT output-exact
+    # (bounded horizon-pixel differences, tests/test_far_decimate.py); the
+    # XLA oracle below consumes the same decimated columns, so kernel-vs-
+    # oracle parity holds under the flag too
+    decimate = bool(_os.environ.get("GABRIL_FAR_DECIMATE"))
+
     if jax.default_backend() == "tpu" and not _os.environ.get("GABRIL_FORCE_XLA_RENDER"):
         from .pallas_raster import BLOCK_ROWS, render_frame_pallas
 
         cam_scalars, cols, cboxes = _pallas_inputs(spec, state, cam, fwd, right,
-                                                   boxes, weather)
+                                                   boxes, weather,
+                                                   far_decimate=decimate)
         # GABRIL_RENDER_BLOCK=64/128: fatter tiles, fewer grid steps (perf
         # experiment knob, read at trace time; outputs are parity-identical)
         block = int(_os.environ.get("GABRIL_RENDER_BLOCK", BLOCK_ROWS))
         return render_frame_pallas(cam_scalars, cols, cboxes, cols.shape[0],
-                                   cboxes.shape[0], ROUTE_VIEW, block_rows=block)
+                                   cboxes.shape[0], ROUTE_VIEW, block_rows=block,
+                                   far_decimate=decimate)
 
-    return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather)
+    return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather,
+                             far_decimate=decimate)
 
 
-def _render_frame_xla(spec, state, cam, fwd, right, boxes, weather) -> jnp.ndarray:
+def _render_frame_xla(spec, state, cam, fwd, right, boxes, weather,
+                      far_decimate: bool = False) -> jnp.ndarray:
     cloud, precip, fog, bright, wet = weather[0], weather[1], weather[2], weather[3], weather[4]
     ground, depth_map, on_ground = _ground_points(cam, fwd, right)
 
     # terrain distance field over the same hoisted columns the kernel
     # consumes (route window + scenario-flow entries, camera-relative)
-    cam_scalars, cols, _ = _pallas_inputs(spec, state, cam, fwd, right, boxes, weather)
+    cam_scalars, cols, _ = _pallas_inputs(spec, state, cam, fwd, right, boxes, weather,
+                                          far_decimate=far_decimate)
     g = (ground - cam[None, None]).reshape(-1, 2)
     t = g @ cols[:, :2].T + cols[None, :, 2]  # [N, V] MXU
     idx = jnp.argmin(t, axis=1)  # [N] (rows are distance-sorted; col 6
