@@ -75,17 +75,24 @@ NEAR_PREFIX = (56, 72, 120)
 # choice, never a correctness one.
 NEAR_PREFIX_DECIMATED = (56, 72, 88)
 CAP3, CAP3_DECIMATED = 128, 96
+# Lower-window skip starts (raster.LOWER_THR2, lever 3a): classes 2/3 run
+# the 4 forced endpoint rows then jump to row LO — valid when the lower
+# count (cam slots 16/17) covers the skipped range. LO is sized just under
+# the typical straight-road count (class 2 ~15 rows below 5.6 m, class 3
+# ~49 below 28.9 m) so the gate usually engages while skipping 8/40 rows.
+LOWER_START = (12, 44)
 
 LANE_WIDTH = 3.5
 
 
 def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
                    n_actors: int, view_route: int, block_rows: int = BLOCK_ROWS,
-                   far_decimate: bool = False):
+                   far_decimate: bool = False, lower_window: bool = False):
     """One [block_rows, LANES] tile of the frame.
 
-    cam_ref:   [16, 1]  camera basis + weather scalars + per-threshold row
-               counts (slots 11-14) in the camera-relative frame
+    cam_ref:   [18, 1]  camera basis + weather scalars + per-threshold row
+               counts (slots 11-14 upper, 16-17 lower) in the
+               camera-relative frame
     route_ref: [view, 8] DISTANCE-SORTED rows: c1 c2 c3 dx dy e3 j hi
                (hoisted quadratic, original row index j, corridor hi);
                rows with j >= view_route are scenario-flow points —
@@ -154,6 +161,15 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
         return lambda _: jax.lax.fori_loop(0, min(n, view), rbody, init,
                                            unroll=unroll)[1:]
 
+    def run_window(lo, n):
+        # forced endpoint rows [0, 4) always run (line-extension semantics),
+        # then the class's [lo, n) slice of the distance-sorted list
+        def go(_):
+            head = jax.lax.fori_loop(0, min(4, view), rbody, init, unroll=True)
+            return jax.lax.fori_loop(min(lo, view), min(n, view), rbody, head,
+                                     unroll=True)[1:]
+        return go
+
     # full loop as the prefix-overflow fallback: rare (tight hairpins /
     # roundabouts crowding a near tile's distance disc), so fully rolled —
     # Mosaic lowers fori_loop only at unroll=1 or unroll=num_steps, and the
@@ -181,14 +197,28 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
         def class1(_):
             return jax.lax.cond(cam_ref[12, 0] <= n1, run_to(n1, True), rolled_full, 0)
 
+        lo2, lo3 = LOWER_START
+
         def class2(_):
-            return jax.lax.cond(cam_ref[13, 0] <= n2, run_to(n2, True), rolled_full, 0)
+            if lower_window:
+                body = lambda _: jax.lax.cond(cam_ref[16, 0] >= lo2,
+                                              run_window(lo2, n2),
+                                              run_to(n2, True), 0)
+            else:
+                body = run_to(n2, True)
+            return jax.lax.cond(cam_ref[13, 0] <= n2, body, rolled_full, 0)
 
         def class3(_):
             # deepest ground tile: all valid rows (invalid-biased rows sort
             # to the tail, so a disabled crossing flow skips its 32 rows —
             # and, decimated, so do the dropped far rows)
-            return jax.lax.cond(cam_ref[14, 0] <= cap3 + 0.5, run_to(cap3, True),
+            if lower_window:
+                body = lambda _: jax.lax.cond(cam_ref[17, 0] >= lo3,
+                                              run_window(lo3, cap3),
+                                              run_to(cap3, True), 0)
+            else:
+                body = run_to(cap3, True)
+            return jax.lax.cond(cam_ref[14, 0] <= cap3 + 0.5, body,
                                 run_to(view, True), 0)
 
         return jax.lax.cond(
@@ -270,10 +300,11 @@ def _render_kernel(cam_ref, route_ref, boxes_ref, img_ref, *, view: int,
 
 
 @functools.partial(jax.jit, static_argnames=("view", "n_actors", "view_route", "interpret",
-                                             "block_rows", "far_decimate"))
+                                             "block_rows", "far_decimate", "lower_window"))
 def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actors: int,
                         view_route: int = 128, interpret: bool = False,
-                        block_rows: int = BLOCK_ROWS, far_decimate: bool = False):
+                        block_rows: int = BLOCK_ROWS, far_decimate: bool = False,
+                        lower_window: bool = False):
     """cam_scalars [16], route_cols [view, 8], actor_boxes [n_actors, 8]
     -> grayscale frame [H, W] in [0, 1].
 
@@ -287,7 +318,7 @@ def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actor
     assert ROWS_PAD % block_rows == 0 and 8192 % (block_rows * LANES) in (0, 8192)
     kernel = functools.partial(_render_kernel, view=view, n_actors=n_actors,
                                view_route=view_route, block_rows=block_rows,
-                               far_decimate=far_decimate)
+                               far_decimate=far_decimate, lower_window=lower_window)
     img = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -295,14 +326,14 @@ def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actor
         in_specs=[
             # scalars in SMEM: the route/actor loops issue one scalar load per
             # iteration — VMEM scalar reads stall the VPU
-            pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((18, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((view, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((n_actors, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS_PAD, LANES), jnp.float32),
     )(
-        cam_scalars.reshape(16, 1).astype(jnp.float32),
+        cam_scalars.reshape(18, 1).astype(jnp.float32),
         route_cols.astype(jnp.float32),
         actor_boxes.astype(jnp.float32),
     )

@@ -224,6 +224,18 @@ NEAR_THR2 = (14.6 * 14.6, 20.0 * 20.0, 47.0 * 47.0)
 # 40 m ≈ a few horizon pixels (tests/test_far_decimate.py bounds it).
 FAR_DECIMATE_R2 = 40.0 * 40.0
 
+# Per-class LOWER windows (DESIGN §7b lever 3a, flag-gated
+# GABRIL_LOWER_WINDOW=1): the deep tile classes only show ground at
+# z >= z_min (class 2: 11.6 m, class 3: 34.9 m from the tile/ray geometry),
+# so by the same lateral<=euclidean containment argument as the upper
+# prefixes, an output-relevant winner for those tiles sits at
+# |q| >= z_min - 6. Sorted rows below (z_min-6)^2 — except the 4 forced
+# window-endpoint rows, whose line extensions must stay winnable — can be
+# skipped. Counts of rows under each threshold (cam slots 16/17) validate
+# the static skip at runtime; a tile whose count falls short runs the
+# plain prefix.
+LOWER_THR2 = ((11.6 - 6.0) ** 2, (34.9 - 6.0) ** 2)
+
 
 def _compact_boxes(boxes):
     """Keep the K_BOX nearest on-screen valid boxes (static shape).
@@ -330,6 +342,8 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather,
     counts = jnp.stack(
         [jnp.sum(key < t) for t in NEAR_THR2] + [jnp.sum(key < 1e11)]
     ).astype(jnp.float32)
+    counts_lower = jnp.stack(
+        [jnp.sum(key < t) for t in LOWER_THR2]).astype(jnp.float32)
 
     cboxes = _compact_boxes(boxes)
     cam_scalars = jnp.concatenate(
@@ -340,7 +354,8 @@ def _pallas_inputs(spec, state, cam, fwd, right, boxes, weather,
          counts,  # slots 11-14: rows under each NEAR_THR2 + valid rows
          # slot 15: visible boxes — valid rows lead the compacted list, so
          # the kernel's composite loop runs a count-gated prefix (exact)
-         jnp.sum(cboxes[:, 6])[None]]
+         jnp.sum(cboxes[:, 6])[None],
+         counts_lower]  # slots 16-17: rows under each LOWER_THR2
     )
     return cam_scalars, cols, cboxes
 
@@ -372,6 +387,9 @@ def render_frame(spec, state) -> jnp.ndarray:
     # XLA oracle below consumes the same decimated columns, so kernel-vs-
     # oracle parity holds under the flag too
     decimate = bool(_os.environ.get("GABRIL_FAR_DECIMATE"))
+    # GABRIL_LOWER_WINDOW=1 (trace-time): deep tile classes skip the sorted
+    # rows below their z_min-6 bound (DESIGN §7b lever 3a; count-gated)
+    lower_win = bool(_os.environ.get("GABRIL_LOWER_WINDOW"))
 
     if jax.default_backend() == "tpu" and not _os.environ.get("GABRIL_FORCE_XLA_RENDER"):
         from .pallas_raster import BLOCK_ROWS, render_frame_pallas
@@ -384,7 +402,7 @@ def render_frame(spec, state) -> jnp.ndarray:
         block = int(_os.environ.get("GABRIL_RENDER_BLOCK", BLOCK_ROWS))
         return render_frame_pallas(cam_scalars, cols, cboxes, cols.shape[0],
                                    cboxes.shape[0], ROUTE_VIEW, block_rows=block,
-                                   far_decimate=decimate)
+                                   far_decimate=decimate, lower_window=lower_win)
 
     return _render_frame_xla(spec, state, cam, fwd, right, boxes, weather,
                              far_decimate=decimate)

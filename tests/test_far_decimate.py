@@ -83,6 +83,39 @@ def test_decimation_changes_only_far_pixels():
         assert z.min() > 35.0, float(z.min())
 
 
+def test_lower_window_matches_oracle():
+    """Lever 3a: deep tile classes skip sorted rows below their z_min-6
+    bound. The XLA oracle runs the FULL argmin, so this pins the
+    containment argument — skipped rows never change a painted pixel
+    beyond the same tolerance the upper prefixes already hold."""
+    spec, st = scene()
+    cam, fwd, right, boxes, weather = _parts(spec, st)
+    oracle = np.asarray(R._render_frame_xla(spec, st, cam, fwd, right, boxes,
+                                            weather))
+    cs, cols, cb = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather)
+    img = np.asarray(render_frame_pallas(cs, cols, cb, cols.shape[0], cb.shape[0],
+                                         R.ROUTE_VIEW, interpret=True,
+                                         lower_window=True))
+    d = np.abs(img - oracle)
+    assert (d > 1e-3).mean() < 0.01
+    assert np.median(d) < 1e-5
+
+
+def test_both_levers_compose():
+    spec, st = scene()
+    cam, fwd, right, boxes, weather = _parts(spec, st)
+    oracle = np.asarray(R._render_frame_xla(spec, st, cam, fwd, right, boxes,
+                                            weather, far_decimate=True))
+    cs, cols, cb = R._pallas_inputs(spec, st, cam, fwd, right, boxes, weather,
+                                    far_decimate=True)
+    img = np.asarray(render_frame_pallas(cs, cols, cb, cols.shape[0], cb.shape[0],
+                                         R.ROUTE_VIEW, interpret=True,
+                                         far_decimate=True, lower_window=True))
+    d = np.abs(img - oracle)
+    assert (d > 1e-3).mean() < 0.01
+    assert np.median(d) < 1e-5
+
+
 def test_row_accounting_and_endpoint_exemption():
     spec, st = scene()
     cam, fwd, right, boxes, weather = _parts(spec, st)
