@@ -38,13 +38,15 @@ METHODS = {
 }
 
 
-def load_ref(name: str) -> dict[str, dict[str, float]]:
+def load_ref(name: str, col: str = "VLM") -> dict[str, dict[str, float]]:
+    """Published rows for one gaze column: 'VLM' (the r3/r4 instrument) or
+    'Human' (the round-5 statistics-matched instrument)."""
     out = {}
     with open(published_csv(name)) as f:
         for row in csv.DictReader(f):
             if row["Method"] in METHODS:
-                out[row["Method"]] = {"seen": float(row["Seen_VLM"]),
-                                      "unseen": float(row["Unseen_VLM"])}
+                out[row["Method"]] = {"seen": float(row[f"Seen_{col}"]),
+                                      "unseen": float(row[f"Unseen_{col}"])}
     return out
 
 

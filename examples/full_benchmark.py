@@ -105,7 +105,7 @@ def main():
     seen = seen_routes()
     unseen = unseen_routes()
     all_specs = load_benchmark_specs(args.routes_xml, seen + unseen,
-                                     junction_traffic=args.junction_traffic or None)
+                                     junction_traffic=args.junction_traffic)
     all_specs = jax.tree.map(jnp.asarray, all_specs)
     idx_of = {r: i for i, r in enumerate(seen + unseen)}
 
@@ -175,17 +175,21 @@ def main():
         # shared by the seeds of THIS run, but distinct across suite
         # invocations with different seed lists (ADVICE r3: don't reuse one
         # fixed pattern for every variant).
+        # precedence: the two EXPLICIT store_true flags (misperceive, sparse)
+        # beat the default-ON human_gaze — since round 5 flipped human_gaze's
+        # default, a --sparse_gaze invocation (the table-3 control, r3/r4
+        # suite scripts) must still get sparsify, not the human branch
         if args.misperceive_gaze:
             g = misperceive_gaze_coords(store.flat_gazes, lengths=store.lengths,
                                         seed=args.train_seed[0])
             tag = "misperceive_gaze"
-        elif args.human_gaze:
+        elif args.sparse_gaze:
+            g = sparsify_gaze_coords(store.flat_gazes, seed=args.train_seed[0])
+            tag = "sparse_gaze"
+        else:
             g = humanize_gaze_coords(store.flat_gazes, lengths=store.lengths,
                                      seed=args.train_seed[0])
             tag = "human_gaze"
-        else:
-            g = sparsify_gaze_coords(store.flat_gazes, seed=args.train_seed[0])
-            tag = "sparse_gaze"
         valid = (g[:, 0] >= 0).mean()
         print(f"[{tag}] {100*valid:.0f}% of frames keep one fixation "
               f"(mask seed {args.train_seed[0]})", flush=True)

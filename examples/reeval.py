@@ -82,6 +82,14 @@ def main():
                         "evaluating several suites in one process reuses compiled "
                         "rollouts across same-architecture checkpoints")
     p.add_argument("--routes_xml", default=None)
+    p.add_argument("--junction_traffic", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="ambient junction crossing traffic in the re-eval "
+                        "worlds; DEFAULT ON since round 5 — MUST match the "
+                        "checkpoints' training distribution (pass "
+                        "--no-junction_traffic when re-scoring r3/r4 "
+                        "junction-free suites, or the re-eval scores that "
+                        "summaries prefer over report.json are mismatched)")
     p.add_argument("--eval_seeds", type=int, nargs="*", default=[400, 401])
     p.add_argument("--eval_steps", type=int, default=1600)
     p.add_argument("--methods", nargs="*", default=None,
@@ -106,7 +114,8 @@ def main():
         seed_dirs += sorted(d for d in root.glob("seed*") if d.is_dir()) or [root]
 
     seen, unseen = seen_routes(), unseen_routes()
-    all_specs = jax.tree.map(jnp.asarray, load_benchmark_specs(args.routes_xml, seen + unseen))
+    all_specs = jax.tree.map(jnp.asarray, load_benchmark_specs(
+        args.routes_xml, seen + unseen, junction_traffic=args.junction_traffic))
     idx_of = {r: i for i, r in enumerate(seen + unseen)}
 
     # Checkpoints sharing (architecture config, confounded, predictor

@@ -43,18 +43,31 @@ def collect_by_seed(*roots):
     suite dirs. Paired statistics join on the report's recorded train_seed —
     NOT on sorted-glob list position, which silently misaligns pairs when
     one cell is missing a seed or the dirs carry different seed sets
-    (ADVICE r4). Later dirs win on a duplicate (method, seed)."""
+    (ADVICE r4). Later dirs win on a duplicate (method, seed).
+
+    Per-seed values follow the SAME preferences as summarize_r3.collect, so
+    paired statistics agree with the tables printed beside them: a
+    report_reeval.json (final-criteria re-score) replaces report.json, and
+    report_evalseeds23.json (eval seeds 402/403) is averaged in for the
+    methods it covers (one 40-rollout mean per seed)."""
     import json
 
     out = {}
     for root in roots:
         for rep_path in sorted(Path(root).glob("**/report.json")):
-            rep = json.loads(rep_path.read_text())
+            reeval = rep_path.with_name("report_reeval.json")
+            rep = json.loads((reeval if reeval.exists() else rep_path).read_text())
+            extra_path = rep_path.with_name("report_evalseeds23.json")
+            extra = (json.loads(extra_path.read_text()).get("methods", {})
+                     if extra_path.exists() else {})
             seed = rep.get("train_seed")
             if seed is None:
                 continue
             for m, d in rep.get("methods", {}).items():
-                out.setdefault(m, {})[seed] = float(d["seen"])
+                v = float(d["seen"])
+                if m in extra:
+                    v = 0.5 * (v + float(extra[m]["seen"]))
+                out.setdefault(m, {})[seed] = v
     return out
 
 

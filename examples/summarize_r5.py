@@ -24,7 +24,6 @@ Sections:
 
 from __future__ import annotations
 
-import csv
 import sys
 from pathlib import Path
 
@@ -35,58 +34,10 @@ from summarize_r3 import collect, stat, table  # noqa: E402
 from summarize_r4 import collect_by_seed, paired  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from gabril_carla_tpu.data.vendored import published_csv  # noqa: E402
+from examples.calibration_scorecard import (METHODS, load_ref,  # noqa: E402
+                                            scorecard)
 
-METHOD_LABELS = {  # reference CSV label -> our spec
-    "BC": "None", "GABRIL": "Reg@0.3", "GABRIL+GMD": "Reg:GMD",
-    "GMD": "None:GMD", "AGIL": "AGIL", "GRIL": "GRIL", "ViSaRL": "ViSaRL",
-}
-
-
-def load_ref(name: str, col: str) -> dict[str, dict[str, float]]:
-    out = {}
-    with open(published_csv(name)) as f:
-        for row in csv.DictReader(f):
-            if row["Method"] in METHOD_LABELS:
-                out[row["Method"]] = {"seen": float(row[f"Seen_{col}"]),
-                                      "unseen": float(row[f"Unseen_{col}"])}
-    return out
-
-
-def spearman(a, b):
-    if len(a) < 2:
-        return float("nan")
-    ra, rb = np.argsort(np.argsort(a)), np.argsort(np.argsort(b))
-    return float(np.corrcoef(ra, rb)[0, 1])
-
-
-def scorecard(title, ref, ours):
-    rows = [(label, spec) for label, spec in METHOD_LABELS.items()
-            if label in ref and ours.get(spec, {}).get("seen")]
-    if not rows:
-        print(f"\n## {title}: no reports yet")
-        return
-    print(f"\n## {title}\n")
-    print("| Method | ref seen | ours seen | Δ | ref unseen | ours unseen | Δ | seeds |")
-    print("|---|---|---|---|---|---|---|---|")
-    deltas, triples = [], []
-    for label, spec in sorted(rows, key=lambda r: -ref[r[0]]["seen"]):
-        o, r = ours[spec], ref[label]
-        osm, oum = np.mean(o["seen"]), np.mean(o["unseen"])
-        print(f"| {label} | {r['seen']:.1f} | {osm:.1f} | {osm - r['seen']:+.1f} "
-              f"| {r['unseen']:.1f} | {oum:.1f} | {oum - r['unseen']:+.1f} "
-              f"| {len(o['seen'])} |")
-        deltas += [abs(osm - r["seen"]), abs(oum - r["unseen"])]
-        triples.append((label, r["seen"], osm))
-    print(f"\nmean |Δ| = {np.mean(deltas):.1f} points; seen-ordering Spearman "
-          f"ρ = {spearman([t[1] for t in triples], [t[2] for t in triples]):.2f} "
-          f"(n={len(rows)})")
-    sub = [(r, o) for label, r, o in triples if label not in ("GRIL", "GMD")]
-    if len(sub) >= 3:
-        rs, os_ = zip(*sub)
-        print(f"excluding GRIL+GMD (documented information-content "
-              f"falsification): ρ = {spearman(list(rs), list(os_)):.2f} "
-              f"(n={len(sub)})")
+METHOD_LABELS = METHODS  # reference CSV label -> our method spec
 
 
 def t_ci(diff, conf=0.95):
@@ -118,19 +69,19 @@ def main(r5="results_r5"):
     agil = ms(anchor, "AGIL")
     bc_c, gab_c = ms(conf, "None"), ms(conf, "Reg@0.3")
 
-    if bc and gab:
+    if bc is not None and gab is not None:
         checks.append((f"GABRIL > BC clean ({gab:.1f} vs {bc:.1f}; "
                        "ref 55.2/62.4 vs 47.8)", gab > bc))
-    if bc_c and gab_c:
+    if bc_c is not None and gab_c is not None:
         checks.append((f"GABRIL > BC confounded ({gab_c:.1f} vs {bc_c:.1f}; "
                        "ref 40.7/44.7 vs 32.8)", gab_c > bc_c))
-    if gab and agil:
+    if gab is not None and agil is not None:
         checks.append((f"GABRIL >= AGIL clean ({gab:.1f} vs {agil:.1f}; "
                        "ref 55.2 vs 53.9)", gab >= agil))
-    if gab and gmd:
+    if gab is not None and gmd is not None:
         checks.append((f"GABRIL >= GMD, statistics-matched gaze "
                        f"({gab:.1f} vs {gmd:.1f}; ref 55.2 > 39.5)", gab >= gmd))
-    if gril and bc:
+    if gril is not None and bc is not None:
         checks.append((f"GRIL within 0.6x..1.2x BC ({gril / bc:.2f}x; "
                        "ref 50.1 ~= 1.05x 47.8)", 0.6 * bc <= gril <= 1.2 * bc))
 
@@ -167,7 +118,7 @@ def main(r5="results_r5"):
             print(f"| {label} | {'—' if v3 is None else f'{v3:.1f}'} | "
                   f"{'—' if v4 is None else f'{v4:.1f}'} | {r:.1f} |")
         g4 = ms(mis, "GRIL")
-        if g4 and bc:
+        if g4 is not None and bc is not None:
             checks.append((f"GRIL ratio-to-BC under SEMANTIC gaze error "
                            f"({g4 / bc:.2f}x; ref 1.05x — the rung-4 "
                            "criterion)", 0.6 * bc <= g4 <= 1.2 * bc))

@@ -89,7 +89,7 @@ def main(argv=None):
         route_ids = sorted({r for r, _ in pairs})
         specs = jax.tree.map(jax.numpy.asarray,
                              load_benchmark_specs(args.routes_xml, route_ids,
-                                                  junction_traffic=args.junction_traffic or None))
+                                                  junction_traffic=args.junction_traffic))
     idx_of = {r: i for i, r in enumerate(route_ids)}
 
     needs_heat = agent.cfg.gaze["method"] in ("Mask", "ViSaRL", "AGIL") or \

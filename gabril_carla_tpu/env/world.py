@@ -1090,6 +1090,9 @@ def load_benchmark_specs(xml_path: str | None = None, route_ids: list[int] = (),
                          junction_traffic: bool | None = None) -> WorldSpec:
     """``xml_path=None`` resolves the vendored route table (reference XML
     as fallback — data/vendored.py); explicit paths may be either format."""
+    if not route_ids:
+        raise ValueError("load_benchmark_specs: route_ids must name at least "
+                         "one route (e.g. [3100])")
     if xml_path is None:
         from ..data.vendored import routes_path
 

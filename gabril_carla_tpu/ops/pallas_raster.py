@@ -305,7 +305,7 @@ def render_frame_pallas(cam_scalars, route_cols, actor_boxes, view: int, n_actor
                         view_route: int = 128, interpret: bool = False,
                         block_rows: int = BLOCK_ROWS, far_decimate: bool = False,
                         lower_window: bool = False):
-    """cam_scalars [16], route_cols [view, 8], actor_boxes [n_actors, 8]
+    """cam_scalars [18], route_cols [view, 8], actor_boxes [n_actors, 8]
     -> grayscale frame [H, W] in [0, 1].
 
     Inputs are built by raster._pallas_inputs (camera-relative hoisted route

@@ -386,10 +386,13 @@ def render_frame(spec, state) -> jnp.ndarray:
     # (bounded horizon-pixel differences, tests/test_far_decimate.py); the
     # XLA oracle below consumes the same decimated columns, so kernel-vs-
     # oracle parity holds under the flag too
-    decimate = bool(_os.environ.get("GABRIL_FAR_DECIMATE"))
+    def _flag(name):  # "0"/"false"/"no"/"" all mean OFF (packing.py idiom)
+        return _os.environ.get(name, "0").lower() not in ("", "0", "false", "no")
+
+    decimate = _flag("GABRIL_FAR_DECIMATE")
     # GABRIL_LOWER_WINDOW=1 (trace-time): deep tile classes skip the sorted
     # rows below their z_min-6 bound (DESIGN §7b lever 3a; count-gated)
-    lower_win = bool(_os.environ.get("GABRIL_LOWER_WINDOW"))
+    lower_win = _flag("GABRIL_LOWER_WINDOW")
 
     if jax.default_backend() == "tpu" and not _os.environ.get("GABRIL_FORCE_XLA_RENDER"):
         from .pallas_raster import BLOCK_ROWS, render_frame_pallas
