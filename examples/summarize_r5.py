@@ -151,10 +151,27 @@ def main(r5="results_r5"):
                       f"at this per-seed variance (vs {len(seeds_d)} run). The "
                       "scorecard row stays 'indeterminate — below instrument "
                       "resolution' with this power analysis attached.")
+                checks.append((f"BC degrades relatively more, confounded "
+                               f"({diff.mean():+.1%} ± {half:.1%}; ref 3pp) "
+                               "-> PERMANENTLY INDETERMINATE", "~"))
+            else:
+                verdict = ("pass" if diff.mean() - half > 0
+                           else "FAIL" if diff.mean() + half < 0
+                           else "INDETERMINATE")
+                checks.append((f"BC degrades relatively more, confounded "
+                               f"({diff.mean():+.1%} ± {half:.1%}; ref 3pp) "
+                               f"-> {verdict}", diff.mean() - half > 0))
+
+    # Row carried from round 4 — no round-5 ratio cells were scheduled: the
+    # 6-seed sparse-ratio tail re-judgment (RESULTS.md "Sparse-ratio tail at
+    # 6 seeds") stands: trend rises, tail dip inside seed noise.
+    checks.append(("sparse-gaze ratio trend rises — carried from round 4 "
+                   "(6-seed tail dip −4.3 ± 7.3, inside noise)", True))
 
     print("\nRound-5 ordering ledger:")
     for name, okc in checks:
-        print(f"  [{'x' if okc else ' '}] {name}")
+        mark = okc if isinstance(okc, str) else ("x" if okc else " ")
+        print(f"  [{mark}] {name}")
 
     # ---- calibration scorecards. Primary: HUMAN columns (round 5's gaze
     # carries human eye-tracker statistics — the matched instrument).
