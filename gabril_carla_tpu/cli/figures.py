@@ -29,7 +29,7 @@ PAIR = {"clean": "#2a78d6", "confounded": "#8a63c9"}
 # ordinal single-hue ramp (blue steps 250/400/550 — the documented
 # light-surface ordinal range; the rungs are ordered, not categorical)
 LADDER = {"dense analytic": "#86b6ef", "+ spatial sparsity": "#3987e5",
-          "+ temporal statistics": "#1c5cab"}
+          "+ temporal statistics": "#1c5cab", "+ semantic error": "#0d3a73"}
 INK, MUTED, GRID = "#1a1a19", "#6b6a60", "#e8e7df"
 
 
@@ -185,16 +185,17 @@ def ladder_bar(rungs: dict[str, dict], refs: dict[str, float],
         return
     labels = {"GRIL": "GRIL", "None:GMD": "GMD", "Reg@0.3": "GABRIL"}
     x = np.arange(len(methods))
-    w = 0.26
+    w = 0.78 / len(rungs)
+    mid = (len(rungs) - 1) / 2.0
     fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=150)
     for i, (rung, data) in enumerate(rungs.items()):
         means = [float(np.mean(data[m]["seen"])) for m in methods]
         stds = [float(np.std(data[m]["seen"])) for m in methods]
         n = max(len(data[m]["seen"]) for m in methods)
-        ax.bar(x + (i - 1) * w, means, w - 0.03, color=LADDER[rung],
-               label=f"{rung} ({n} seeds)",
+        ax.bar(x + (i - mid) * w, means, w - 0.03, color=LADDER[rung],
+               label=f"{rung} ({n} seed{'s' if n != 1 else ''})",
                yerr=stds, error_kw={"ecolor": MUTED, "capsize": 2, "elinewidth": 1})
-        for xi, v in zip(x + (i - 1) * w, means):
+        for xi, v in zip(x + (i - mid) * w, means):
             ax.text(xi, v + 1.2, f"{v:.0f}", ha="center", va="bottom",
                     fontsize=8, color=INK)
     ref_xs = [xi for xi, m in enumerate(methods) if labels[m] in refs]
@@ -224,6 +225,9 @@ def main(argv=None):
                    help="spatial-sparsity-rung report.json paths (results_r4/sparse_core)")
     p.add_argument("--ladder_human", nargs="*", default=[],
                    help="eye-tracker-statistics-rung report.json paths (results_r4/human_core)")
+    p.add_argument("--ladder_misperceive", nargs="*", default=[],
+                   help="semantic-gaze-error-rung report.json paths (results_r5/misperceive); "
+                        "pair with --ladder_human pointed at the same-cache statistics rung")
     p.add_argument("--out", default="figs")
     args = p.parse_args(argv)
     out = Path(args.out)
@@ -237,10 +241,13 @@ def main(argv=None):
         confounded_bar(data, _collect(args.conf_reports), out)
     if args.ladder_sparse and args.ladder_human:
         bc = data.get("None", {}).get("seen", [])
+        rungs = {"dense analytic": data,
+                 "+ spatial sparsity": _collect(args.ladder_sparse),
+                 "+ temporal statistics": _collect(args.ladder_human)}
+        if args.ladder_misperceive:
+            rungs["+ semantic error"] = _collect(args.ladder_misperceive)
         ladder_bar(
-            {"dense analytic": data,
-             "+ spatial sparsity": _collect(args.ladder_sparse),
-             "+ temporal statistics": _collect(args.ladder_human)},
+            rungs,
             refs={"GRIL": 50.1, "GMD": 43.0, "GABRIL": 62.4},  # Original.csv VLM columns
             bc_anchor=float(np.mean(bc)) if bc else None, out=out)
     _curve(data, "%", "gaze ratio (table 3)", "ratio_curve.png", out)
