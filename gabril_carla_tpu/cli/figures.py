@@ -221,6 +221,9 @@ def main(argv=None):
     p.add_argument("--reports", nargs="+", required=True, help="report.json paths (one per seed)")
     p.add_argument("--conf_reports", nargs="*", default=[],
                    help="confounded-eval report.json paths; adds confounded_bar.png")
+    p.add_argument("--ladder_dense", nargs="*", default=[],
+                   help="dense-analytic-rung report.json paths; defaults to --reports "
+                        "(override when the headline anchor is not the dense rung, e.g. round 5)")
     p.add_argument("--ladder_sparse", nargs="*", default=[],
                    help="spatial-sparsity-rung report.json paths (results_r4/sparse_core)")
     p.add_argument("--ladder_human", nargs="*", default=[],
@@ -241,7 +244,7 @@ def main(argv=None):
         confounded_bar(data, _collect(args.conf_reports), out)
     if args.ladder_sparse and args.ladder_human:
         bc = data.get("None", {}).get("seen", [])
-        rungs = {"dense analytic": data,
+        rungs = {"dense analytic": _collect(args.ladder_dense) if args.ladder_dense else data,
                  "+ spatial sparsity": _collect(args.ladder_sparse),
                  "+ temporal statistics": _collect(args.ladder_human)}
         if args.ladder_misperceive:
