@@ -10,7 +10,10 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=${1:-results_r5}
 CACHE="$OUT/expert_cache_r5.npz"
 
-timeout 14400 python -u examples/full_benchmark.py \
+# Budget cap re-planned 03:10 UTC (round ends ~09:51): 75 min lands seeds
+# 45-47 (6 paired seeds total incl. chain A's 42-44 — the repo's ordering
+# floor); resume keeps completed cells if the cap hits mid-seed.
+timeout 4500 python -u examples/full_benchmark.py \
   --train_seeds $(seq 200 219) --epochs 30 --batch_size 128 \
   --eval_seeds 400 401 402 403 \
   --store_cache "$CACHE" --out "$OUT/agil_depth" \

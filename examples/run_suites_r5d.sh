@@ -14,7 +14,9 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=${1:-results_r5}
 CACHE="$OUT/expert_cache_r5.npz"
 
-timeout 10800 python -u examples/full_benchmark.py \
+# Budget cap re-planned 03:10 UTC: 90 min covers ~3 seeds x (gp + 3 cells);
+# resume keeps completed cells if the cap hits mid-seed.
+timeout 5400 python -u examples/full_benchmark.py \
   --train_seeds $(seq 200 219) --epochs 30 --batch_size 128 \
   --eval_seeds 400 401 402 403 \
   --store_cache "$CACHE" --out "$OUT/misperceive" \

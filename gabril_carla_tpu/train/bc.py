@@ -180,7 +180,20 @@ def _reg_loss(models: BCModels, cfg, params, z, z_flat, gg, gc, xx, ivg, key):
         t1 = jnp.sum((zf32 - z_plus.astype(jnp.float32)) ** 2, axis=(1, 2, 3))
         t2 = jnp.sum((zf32 - z_minus.astype(jnp.float32)) ** 2, axis=(1, 2, 3))
         margin = jnp.maximum(0.0, t1 - t2 + g["contrastive_threshold"])
-        return _weighted_mean(margin, ivg)
+        # Samples whose gaze stack carries no mass (tracker-dropout frames
+        # blanked to -1 by data/gaze_stats.py:sparsify_gaze_coords) give
+        # neg == xx exactly, so t2 == 0 and the hinge t1 + threshold is
+        # unsatisfiable — the only descent direction is global encoder
+        # collapse (t1 -> 0), which λ=10 then forces on the whole batch
+        # (round-5 anchor: seen 13.5 at every seed, loss_reg pinned at
+        # ~threshold-8). A no-information pair carries no supervision:
+        # gate it out per sample, matching how the Reg/GRIL branches
+        # already contribute ~0 on blank frames. The reference never hits
+        # this case — its Contrastive branch (train_bc.py:174-179) assumes
+        # dataset-packed pos/neg stacks, and with heatmap gg it would index
+        # an empty channel slice, i.e. the analytic fallback is ours.
+        has_gaze = (jnp.sum(gg, axis=(1, 2, 3)) > 1e-6).astype(jnp.float32)
+        return _weighted_mean(margin, ivg * has_gaze)
 
     if method == "GRIL":
         # Coordinate MSE over VALID points only. The reference feeds -1

@@ -119,6 +119,36 @@ def test_gril_masks_invalid_padding():
     assert float(m3["loss_reg"]) == 0.0
 
 
+def test_contrastive_blank_gaze_gated_out():
+    """Tracker-dropout frames (gaze blanked to -1 -> zero heatmap) must not
+    enter the contrastive hinge: with gg == 0 the negative equals the input
+    exactly (t2 == 0), the margin is unsatisfiable, and the round-5 anchor
+    collapsed the encoder at every seed (seen 13.5, loss_reg pinned)."""
+    cfg = small_cfg(gaze_method="Contrastive")
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, cfg.training, steps_per_epoch=2)
+    models, state = init_bc_state(cfg, jax.random.PRNGKey(0), tx)
+    batch = jax.tree.map(jnp.asarray, one_batch(cfg))
+
+    # all samples blank -> zero contrastive reg (previously == threshold + t1)
+    b_blank = dict(batch, gaze_seq=jnp.full_like(batch["gaze_seq"], -1.0))
+    _, m_blank = bc_loss_fn(state.params, models, cfg, b_blank, jax.random.PRNGKey(1))
+    assert float(m_blank["loss_reg"]) == 0.0
+
+    # identical valid samples, half blanked: the weighted mean over the
+    # valid half must equal the all-valid batch's reg loss
+    tile = jax.tree.map(lambda x: jnp.tile(x[:1], (4,) + (1,) * (x.ndim - 1)), batch)
+    gz_valid = jnp.full_like(tile["gaze_seq"], 0.5)
+    b_all = dict(tile, gaze_seq=gz_valid)
+    _, m_all = bc_loss_fn(state.params, models, cfg, b_all, jax.random.PRNGKey(1))
+    gz_half = gz_valid.at[2:].set(-1.0)
+    b_half = dict(tile, gaze_seq=gz_half)
+    _, m_half = bc_loss_fn(state.params, models, cfg, b_half, jax.random.PRNGKey(1))
+    assert float(m_all["loss_reg"]) > 0.0
+    np.testing.assert_allclose(
+        float(m_half["loss_reg"]), float(m_all["loss_reg"]), rtol=1e-5
+    )
+
+
 def test_oreo_quantizer_masked_from_optimizer():
     """Frozen quantizer params must not move even with weight decay on."""
     cfg = small_cfg(dp_method="Oreo", **{"optimizer.weight_decay": 0.1})
